@@ -1,0 +1,71 @@
+"""Global configuration for tensornetwork_tpu.
+
+The reference library threads configuration through module-level mutable
+singletons (default-backend stack, per-backend caches; see reference
+``backend_contextmanager.py:22-49``).  Here configuration is a single frozen
+dataclass passed explicitly (or read from a context variable), which keeps
+every jitted computation a pure function of (config, inputs) and therefore
+cache-friendly under XLA.
+"""
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Framework-wide knobs.
+
+    Attributes:
+      dot_precision: precision for ``lax.dot_general`` on TPU. ``"highest"``
+        keeps float32 accumulation on the MXU; ``"default"`` allows bf16
+        passes.
+      preferred_element_type: accumulation dtype for contractions
+        (``None`` = infer from operands).
+      bucket_sizes: shape-bucketing boundaries for bond dimensions.  A
+        compiled plan is cached per bucket, so a χ=97 network reuses the
+        χ=128 executable (padded), bounding compile counts.
+      max_paths_optimal: below this operand count the ``auto`` contractor
+        uses the optimal (DP) path solver; mirrors the reference policy
+        (reference ``path_contractors.py:197-265``).
+    """
+    dot_precision: str = "highest"
+    preferred_element_type: Optional[jnp.dtype] = None
+    bucket_sizes: tuple = (8, 16, 32, 64, 128, 256, 512, 1024)
+    max_paths_optimal: int = 5
+
+    def dot_general_kwargs(self):
+        kwargs = {"precision": jax.lax.Precision(self.dot_precision)}
+        if self.preferred_element_type is not None:
+            kwargs["preferred_element_type"] = self.preferred_element_type
+        return kwargs
+
+
+_CONFIG_STACK = [Config()]
+
+
+def get_config() -> Config:
+    return _CONFIG_STACK[-1]
+
+
+@contextlib.contextmanager
+def config_context(config: Config):
+    _CONFIG_STACK.append(config)
+    try:
+        yield config
+    finally:
+        _CONFIG_STACK.pop()
+
+
+def bucket_dim(dim: int, config: Optional[Config] = None) -> int:
+    """Round a bond dimension up to the nearest bucket boundary."""
+    config = config or get_config()
+    for b in config.bucket_sizes:
+        if dim <= b:
+            return b
+    return dim

@@ -1,0 +1,193 @@
+"""Tensor decompositions (SVD / QR / RQ / eigh) with truncation.
+
+Truncation semantics follow the reference contract exactly (reference
+``backends/numpy/decompositions.py:21-124``): the discarded singular values
+are the maximal *tail* whose L2 norm is at most ``max_truncation_error``
+(scaled by the largest singular value when ``relative=True``), further capped
+by ``max_singular_values``; the discarded spectrum is returned for
+truncation-error accounting.
+
+Two families are provided:
+
+* ``svd`` / ``qr`` / ``rq`` — host-level API with data-dependent output
+  shapes (used by ``split_node`` and friends, which mutate the host-side
+  graph anyway).
+* ``svd_masked`` — static-shape, jit/vmap/scan-safe variant: output rank is
+  the static ``max_singular_values``; truncated singular values are zeroed
+  via a mask instead of sliced away.  This is what the compiled DMRG/TEBD
+  paths use (pad-and-mask strategy, SURVEY §7.4).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_matrix(tensor, pivot_axis: int):
+    shape = tensor.shape
+    left = shape[:pivot_axis]
+    right = shape[pivot_axis:]
+    return (tensor.reshape((int(np.prod(left, dtype=np.int64)),
+                            int(np.prod(right, dtype=np.int64)))),
+            left, right)
+
+
+def _num_keep_from_spectrum(
+    s: np.ndarray,
+    max_singular_values: Optional[int],
+    max_truncation_error: Optional[float],
+    relative: bool,
+) -> int:
+    n = s.shape[0]
+    keep = n
+    if max_truncation_error is not None:
+        err = float(max_truncation_error)
+        if relative and n > 0:
+            err = err * float(s[0])
+        tail_sq = np.cumsum((s**2)[::-1])
+        # largest number of tail values with L2 norm <= err
+        num_discard = int(np.searchsorted(np.sqrt(tail_sq), err, side="right"))
+        keep = n - num_discard
+    if max_singular_values is not None:
+        keep = min(keep, int(max_singular_values))
+    return max(keep, 0)
+
+
+def svd(
+    tensor,
+    pivot_axis: int = -1,
+    max_singular_values: Optional[int] = None,
+    max_truncation_error: Optional[float] = None,
+    relative: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Truncated SVD around ``pivot_axis``.
+
+    Returns ``(u, s, vh, s_rest)`` where ``u`` has shape
+    ``left_dims + (D,)``, ``vh`` has ``(D,) + right_dims`` and ``s_rest``
+    holds the discarded singular values (reference
+    ``backends/numpy/decompositions.py:32-76``).
+    """
+    if pivot_axis < 0:
+        pivot_axis += tensor.ndim
+    matrix, left, right = _to_matrix(tensor, pivot_axis)
+    u, s, vh = jnp.linalg.svd(matrix, full_matrices=False)
+    if max_truncation_error is None:
+        # static decision — no device->host sync needed
+        keep = s.shape[0]
+        if max_singular_values is not None:
+            keep = min(keep, int(max_singular_values))
+    else:
+        s_host = np.asarray(jax.device_get(s))
+        keep = _num_keep_from_spectrum(
+            s_host, max_singular_values, max_truncation_error, relative)
+    s_rest = s[keep:]
+    u, s, vh = u[:, :keep], s[:keep], vh[:keep, :]
+    return (u.reshape(left + (keep,)), s, vh.reshape((keep,) + right), s_rest)
+
+
+def qr(
+    tensor,
+    pivot_axis: int = -1,
+    non_negative_diagonal: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """QR around ``pivot_axis`` (reference
+    ``backends/numpy/decompositions.py:77-100``)."""
+    if pivot_axis < 0:
+        pivot_axis += tensor.ndim
+    matrix, left, right = _to_matrix(tensor, pivot_axis)
+    q, r = jnp.linalg.qr(matrix)
+    if non_negative_diagonal:
+        d = jnp.diagonal(r)
+        phase = jnp.where(d == 0, jnp.ones_like(d), d / jnp.abs(d))
+        q = q * jnp.conj(phase)[None, :]
+        r = r * phase[:, None]
+    k = q.shape[1]
+    return q.reshape(left + (k,)), r.reshape((k,) + right)
+
+
+def rq(
+    tensor,
+    pivot_axis: int = -1,
+    non_negative_diagonal: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """RQ around ``pivot_axis`` (reference
+    ``backends/numpy/decompositions.py:101-124``): returns ``r, q`` with
+    ``tensor = r @ q`` and ``q`` having orthonormal rows."""
+    if pivot_axis < 0:
+        pivot_axis += tensor.ndim
+    matrix, left, right = _to_matrix(tensor, pivot_axis)
+    # rq(A) via qr of the conjugate transpose: A = R Q with Q row-orthonormal
+    q_, r_ = jnp.linalg.qr(jnp.conj(matrix.T))
+    if non_negative_diagonal:
+        d = jnp.diagonal(r_)
+        phase = jnp.where(d == 0, jnp.ones_like(d), d / jnp.abs(d))
+        q_ = q_ * jnp.conj(phase)[None, :]
+        r_ = r_ * phase[:, None]
+    r = jnp.conj(r_.T)
+    q = jnp.conj(q_.T)
+    k = q.shape[0]
+    return r.reshape(left + (k,)), q.reshape((k,) + right)
+
+
+def eigh(tensor, pivot_axis: int = -1):
+    if pivot_axis < 0:
+        pivot_axis += tensor.ndim
+    matrix, left, right = _to_matrix(tensor, pivot_axis)
+    e, v = jnp.linalg.eigh(matrix)
+    return e, v.reshape(left + (v.shape[1],))
+
+
+class MaskedSVD(NamedTuple):
+    """Static-shape truncated SVD result.
+
+    ``u``: [..., m, k], ``s``: [..., k] (truncated entries zeroed),
+    ``vh``: [..., k, n], ``num_kept``: [] int32, ``trunc_sq_norm``: []
+    squared L2 norm of the discarded spectrum (includes both mask-truncated
+    values and the hard tail beyond ``k``).
+    """
+    u: jax.Array
+    s: jax.Array
+    vh: jax.Array
+    num_kept: jax.Array
+    trunc_sq_norm: jax.Array
+
+
+def svd_masked(
+    matrix,
+    max_singular_values: int,
+    max_truncation_error: Optional[float] = None,
+    relative: bool = False,
+) -> MaskedSVD:
+    """Jit/vmap-safe truncated SVD with a static output rank.
+
+    The output rank is always ``k = min(max_singular_values, min(m, n))``;
+    singular values that the reference semantics would discard are zeroed in
+    ``s`` (and counted in ``trunc_sq_norm``) instead of changing the shape.
+    Batched inputs ([..., m, n]) are supported.
+    """
+    u, s, vh = jnp.linalg.svd(matrix, full_matrices=False)
+    n = s.shape[-1]
+    k = min(int(max_singular_values), n)
+    full_sq = jnp.sum(s**2, axis=-1)
+    u_k, s_k, vh_k = u[..., :, :k], s[..., :k], vh[..., :k, :]
+    if max_truncation_error is not None:
+        err = jnp.asarray(max_truncation_error, dtype=s.dtype)
+        if relative:
+            err = err * s[..., 0]
+        tail_sq = jnp.cumsum((s**2)[..., ::-1], axis=-1)[..., ::-1]
+        # keep s[i] iff the tail starting at i has L2 norm > err
+        keep_mask_full = jnp.sqrt(tail_sq) > err[..., None]
+        keep_mask = keep_mask_full[..., :k]
+    else:
+        keep_mask = jnp.ones(s_k.shape, dtype=bool)
+    s_masked = jnp.where(keep_mask, s_k, jnp.zeros_like(s_k))
+    num_kept = jnp.sum(keep_mask, axis=-1).astype(jnp.int32)
+    kept_sq = jnp.sum(s_masked**2, axis=-1)
+    trunc_sq = full_sq - kept_sq
+    # zero the corresponding rows/cols so downstream contractions ignore them
+    u_k = jnp.where(keep_mask[..., None, :], u_k, jnp.zeros_like(u_k))
+    vh_k = jnp.where(keep_mask[..., :, None], vh_k, jnp.zeros_like(vh_k))
+    return MaskedSVD(u_k, s_masked, vh_k, num_kept, trunc_sq)

@@ -1,0 +1,117 @@
+"""Decomposition tests: reconstruction + reference truncation semantics
+(oracle: numpy.linalg; truncation contract from reference
+``backends/numpy/decompositions.py:21-124``)."""
+import numpy as np
+
+from tensornetwork_tpu.ops.decompositions import (
+    svd, qr, rq, eigh, svd_masked)
+
+
+def test_svd_reconstruct(rng):
+    t = rng.standard_normal((6, 4, 5, 3))
+    u, s, vh, s_rest = svd(t, pivot_axis=2)
+    u, s, vh = map(np.asarray, (u, s, vh))
+    assert u.shape[:2] == (6, 4) and vh.shape[1:] == (5, 3)
+    assert s_rest.shape == (0,)
+    recon = np.einsum("abk,k,kcd->abcd", u, s, vh)
+    np.testing.assert_allclose(recon, t, atol=1e-10)
+
+
+def test_svd_max_singular_values(rng):
+    t = rng.standard_normal((10, 8))
+    u, s, vh, s_rest = svd(t, pivot_axis=1, max_singular_values=3)
+    assert s.shape == (3,)
+    assert s_rest.shape == (5,)
+    full_s = np.linalg.svd(t, compute_uv=False)
+    np.testing.assert_allclose(np.asarray(s), full_s[:3], rtol=1e-10)
+    np.testing.assert_allclose(np.sort(np.asarray(s_rest))[::-1], full_s[3:],
+                               rtol=1e-10)
+
+
+def test_svd_max_truncation_error(rng):
+    # construct a known spectrum
+    u0, _ = np.linalg.qr(rng.standard_normal((8, 8)))
+    v0, _ = np.linalg.qr(rng.standard_normal((8, 8)))
+    spec = np.array([10.0, 5.0, 1.0, 0.1, 0.05, 0.01, 0.005, 0.001])
+    t = (u0 * spec) @ v0.T
+    # tail [0.005, 0.001] has norm ~0.0051; allow 0.006
+    _, s, _, s_rest = svd(t, pivot_axis=1, max_truncation_error=0.0052)
+    assert s.shape == (6,)
+    np.testing.assert_allclose(np.asarray(s), spec[:6], rtol=1e-8)
+    # relative: err * s[0] = 0.00052*10 = 0.0052
+    _, s2, _, _ = svd(t, pivot_axis=1, max_truncation_error=0.00052,
+                      relative=True)
+    assert s2.shape == (6,)
+    # both caps: max_sv wins when smaller
+    _, s3, _, rest3 = svd(t, pivot_axis=1, max_singular_values=2,
+                          max_truncation_error=0.0052)
+    assert s3.shape == (2,)
+    assert rest3.shape == (6,)
+
+
+def test_qr_rq(rng):
+    t = rng.standard_normal((6, 4, 5))
+    q, r = qr(t, pivot_axis=2)
+    recon = np.einsum("abk,kc->abc", np.asarray(q), np.asarray(r))
+    np.testing.assert_allclose(recon, t, atol=1e-10)
+    qm = np.asarray(q).reshape(24, -1)
+    np.testing.assert_allclose(qm.T @ qm, np.eye(qm.shape[1]), atol=1e-10)
+
+    r2, q2 = rq(t, pivot_axis=1)
+    recon2 = np.einsum("ak,kbc->abc", np.asarray(r2), np.asarray(q2))
+    np.testing.assert_allclose(recon2, t, atol=1e-10)
+    q2m = np.asarray(q2).reshape(q2.shape[0], -1)
+    np.testing.assert_allclose(q2m @ q2m.T, np.eye(q2m.shape[0]), atol=1e-10)
+
+
+def test_qr_non_negative_diagonal(rng):
+    t = rng.standard_normal((5, 5))
+    q, r = qr(t, pivot_axis=1, non_negative_diagonal=True)
+    assert np.all(np.diagonal(np.asarray(r)) >= 0)
+    np.testing.assert_allclose(np.asarray(q) @ np.asarray(r), t, atol=1e-10)
+
+
+def test_eigh(rng):
+    a = rng.standard_normal((6, 6))
+    a = a + a.T
+    e, v = eigh(a, pivot_axis=1)
+    np.testing.assert_allclose(
+        np.asarray(v) @ np.diag(np.asarray(e)) @ np.asarray(v).T, a,
+        atol=1e-10)
+
+
+def test_svd_masked_static_shape(rng):
+    t = rng.standard_normal((10, 8))
+    res = svd_masked(t, max_singular_values=5)
+    assert res.u.shape == (10, 5)
+    assert res.s.shape == (5,)
+    assert res.vh.shape == (5, 8)
+    assert int(res.num_kept) == 5
+    full_s = np.linalg.svd(t, compute_uv=False)
+    np.testing.assert_allclose(np.asarray(res.s), full_s[:5], rtol=1e-10)
+    np.testing.assert_allclose(float(res.trunc_sq_norm),
+                               float(np.sum(full_s[5:]**2)), rtol=1e-8)
+
+
+def test_svd_masked_truncation_error_matches_host(rng):
+    u0, _ = np.linalg.qr(rng.standard_normal((8, 8)))
+    v0, _ = np.linalg.qr(rng.standard_normal((8, 8)))
+    spec = np.array([10.0, 5.0, 1.0, 0.1, 0.05, 0.01, 0.005, 0.001])
+    t = (u0 * spec) @ v0.T
+    res = svd_masked(t, max_singular_values=8, max_truncation_error=0.0052)
+    assert int(res.num_kept) == 6
+    np.testing.assert_allclose(np.asarray(res.s)[:6], spec[:6], rtol=1e-8)
+    assert np.all(np.asarray(res.s)[6:] == 0)
+    # masked rows of vh / cols of u are zeroed
+    assert np.all(np.asarray(res.vh)[6:, :] == 0)
+    assert np.all(np.asarray(res.u)[:, 6:] == 0)
+
+
+def test_svd_masked_batched(rng):
+    t = rng.standard_normal((4, 10, 8))
+    res = svd_masked(t, max_singular_values=3)
+    assert res.u.shape == (4, 10, 3)
+    for b in range(4):
+        full_s = np.linalg.svd(t[b], compute_uv=False)
+        np.testing.assert_allclose(np.asarray(res.s)[b], full_s[:3],
+                                   rtol=1e-10)
