@@ -1,0 +1,4 @@
+from tensornetwork_tpu.models.mpo import (
+    MPO, FiniteTFI, FiniteXXZ, FiniteFreeFermion2D, mpo_to_dense)
+from tensornetwork_tpu.models.dmrg import FiniteDMRG
+from tensornetwork_tpu.models.mps import FiniteMPS

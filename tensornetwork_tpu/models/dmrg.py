@@ -1,0 +1,356 @@
+"""DMRG ground-state search, compiled end-to-end for TPU.
+
+Capability parity with the reference ``BaseDMRG``/``FiniteDMRG``
+(reference ``matrixproductstates/dmrg.py:29-604``), re-architected for XLA:
+
+* The MPS is a uniform stack ``(N, chi, d, chi)`` — open boundaries are
+  *trace* boundaries (identity boundary environments) so every site tensor
+  has the same shape and an entire sweep is a single ``lax.scan``.
+  The reference instead drives a Python loop over ragged per-site tensors
+  (reference ``dmrg.py:397-442``), paying dispatch per site.
+* The local eigensolver is the static-iteration Lanczos of
+  :mod:`tensornetwork_tpu.ops.krylov` (masked-matmul orthogonalization on
+  the MXU), run *inside* the scan body — one XLA computation per sweep.
+* Environment caching falls out of the scan structure: the left-to-right
+  optimize scan emits the left environments the right-to-left scan
+  consumes (reference maintains explicit env caches with invalidation,
+  ``dmrg.py:114-157``).
+* Two-site updates truncate with the static-shape masked SVD
+  (pad-and-mask), keeping shapes compile-time constant while reproducing
+  the reference's truncation semantics and error accounting.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensornetwork_tpu.models.mpo import MPO
+from tensornetwork_tpu.ops import krylov
+from tensornetwork_tpu.ops.decompositions import svd_masked
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Environment algebra.  Conventions:
+#   A[l, s, r]        ket site tensor
+#   W[wl, wr, s, t]   MPO tensor, s = bra phys, t = ket phys
+#   L[a, w, a']       left env, a = ket bond, a' = bra bond
+#   R[b, w, b']       right env
+# (reference matvec/env definitions: ``dmrg.py:90-112``)
+# ---------------------------------------------------------------------------
+
+
+def _update_left(L: Array, A: Array, W: Array) -> Array:
+    return jnp.einsum("awc,atr,wvst,csp->rvp", L, A, W, jnp.conj(A),
+                      optimize=True)
+
+
+def _update_right(R: Array, A: Array, W: Array) -> Array:
+    return jnp.einsum("bvd,ltb,wvst,psd->lwp", R, A, W, jnp.conj(A),
+                      optimize=True)
+
+
+def _matvec_1s(L: Array, W: Array, R: Array, x: Array) -> Array:
+    # y[c, s, d] = L[a,w,c] W[w,v,s,t] x[a,t,b] R[b,v,d]
+    return jnp.einsum("awc,wvst,atb,bvd->csd", L, W, x, R, optimize=True)
+
+
+def _matvec_2s(L: Array, W1: Array, W2: Array, R: Array, x: Array) -> Array:
+    # y[c, s, u, d] = L[a,w,c] W1[w,m,s,t] W2[m,v,u,z] x[a,t,z,b] R[b,v,d]
+    return jnp.einsum("awc,wmst,mvuz,atzb,bvd->csud", L, W1, W2, x, R,
+                      optimize=True)
+
+
+def _boundary_left(chi: int, vL: Array) -> Array:
+    return jnp.einsum("ac,w->awc", jnp.eye(chi, dtype=vL.dtype), vL)
+
+
+def _boundary_right(chi: int, vR: Array) -> Array:
+    return jnp.einsum("bd,v->bvd", jnp.eye(chi, dtype=vR.dtype), vR)
+
+
+def _qr_shift_right(A: Array) -> Tuple[Array, Array]:
+    """Left-canonicalize: A = Q·Rm with Q†Q = I on the right bond."""
+    chi_l, d, chi_r = A.shape
+    q, rm = jnp.linalg.qr(A.reshape(chi_l * d, chi_r))
+    return q.reshape(chi_l, d, chi_r), rm
+
+
+def _rq_shift_left(A: Array) -> Tuple[Array, Array]:
+    """Right-canonicalize: A = Lm·Q with Q·Q† = I on the left bond."""
+    chi_l, d, chi_r = A.shape
+    qt, rt = jnp.linalg.qr(A.reshape(chi_l, d * chi_r).T)
+    return rt.T, qt.T.reshape(chi_l, d, chi_r)
+
+
+def right_canonicalize_and_envs(
+    As: Array, Ws: Array, vL: Array, vR: Array,
+) -> Tuple[Array, Array]:
+    """One reverse scan: bring all sites to right-canonical form and emit the
+    right environment stack ``Renvs[i]`` = env of sites > i."""
+    N, chi, d, _ = As.shape
+    R0 = _boundary_right(chi, vR)
+    Lm0 = jnp.eye(chi, dtype=As.dtype)
+
+    def body(carry, inputs):
+        Renv, Lm = carry
+        A, W = inputs
+        A = jnp.einsum("asb,bc->asc", A, Lm)
+        nrm = jnp.linalg.norm(A)
+        A = A / jnp.where(nrm > 0, nrm, 1.0)
+        Lm_new, Q = _rq_shift_left(A)
+        Renv_new = _update_right(Renv, Q, W)
+        return (Renv_new, Lm_new), (Q, Renv)
+
+    (_, Lm_final), (Qs, Renvs) = jax.lax.scan(body, (R0, Lm0), (As, Ws),
+                                              reverse=True)
+    # re-absorb the left-over center factor of site 0 — dropping it would
+    # change the state (site 0 becomes the orthogonality center)
+    Qs = Qs.at[0].set(jnp.einsum("ab,bsc->asc", Lm_final, Qs[0]))
+    return Qs, Renvs
+
+
+class SweepResult(NamedTuple):
+    As: Array
+    energy: Array
+    energies: Array        # per-site Lanczos energies of the last half-sweep
+    trunc_err: Array       # accumulated truncated weight (2-site only)
+
+
+@functools.partial(jax.jit, static_argnames=("num_krylov_vecs",))
+def one_site_sweep(
+    As: Array, Ws: Array, vL: Array, vR: Array,
+    num_krylov_vecs: int = 10,
+) -> SweepResult:
+    """One full (left-to-right + right-to-left) one-site DMRG sweep as a
+    single XLA computation (reference ``run_one_site``, ``dmrg.py:345``)."""
+    with jax.default_matmul_precision("highest"):
+        return _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs)
+
+
+def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs):
+    # Lanczos is precision-critical: bf16 MXU passes make the tridiagonal
+    # projection non-variational (energies below the true ground state),
+    # hence the forced float32 accumulation above.
+    N, chi, d, _ = As.shape
+    As, Renvs = right_canonicalize_and_envs(As, Ws, vL, vR)
+    L0 = _boundary_left(chi, vL)
+    eye = jnp.eye(chi, dtype=As.dtype)
+
+    def body_lr(carry, inputs):
+        Lenv, Rm = carry
+        A, W, Renv = inputs
+        A = jnp.einsum("ab,bsc->asc", Rm, A)
+        nrm = jnp.linalg.norm(A)
+        A = A / jnp.where(nrm > 0, nrm, 1.0)
+        mv = lambda x: _matvec_1s(Lenv, W, Renv, x)
+        evals, evecs = krylov.eigsh_lanczos(
+            mv, A, num_krylov_vecs=num_krylov_vecs, numeig=1)
+        Q, Rm_new = _qr_shift_right(evecs[0])
+        Lenv_new = _update_left(Lenv, Q, W)
+        return (Lenv_new, Rm_new), (Q, Lenv, evals[0])
+
+    (_, Rm_last), (As1, Lenvs, Es_lr) = jax.lax.scan(
+        body_lr, (L0, eye), (As, Ws, Renvs))
+
+    R0 = _boundary_right(chi, vR)
+
+    def body_rl(carry, inputs):
+        Renv, Lm = carry
+        A, W, Lenv = inputs
+        A = jnp.einsum("asb,bc->asc", A, Lm)
+        nrm = jnp.linalg.norm(A)
+        A = A / jnp.where(nrm > 0, nrm, 1.0)
+        mv = lambda x: _matvec_1s(Lenv, W, Renv, x)
+        evals, evecs = krylov.eigsh_lanczos(
+            mv, A, num_krylov_vecs=num_krylov_vecs, numeig=1)
+        Lm_new, Q = _rq_shift_left(evecs[0])
+        Renv_new = _update_right(Renv, Q, W)
+        return (Renv_new, Lm_new), (Q, evals[0])
+
+    # seed the reverse pass with the left-over center factor of the forward
+    # pass, and re-absorb the final center factor into site 0 so the
+    # returned stack represents the optimized state (not just its gauge).
+    (_, Lm_last), (As2, Es_rl) = jax.lax.scan(
+        body_rl, (R0, Rm_last), (As1, Ws, Lenvs), reverse=True)
+    As2 = As2.at[0].set(jnp.einsum("ab,bsc->asc", Lm_last, As2[0]))
+    return SweepResult(As2, Es_rl[0], Es_rl,
+                       jnp.zeros((), jnp.zeros((), As.dtype).real.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("num_krylov_vecs",))
+def two_site_sweep(
+    As: Array, Ws: Array, vL: Array, vR: Array,
+    num_krylov_vecs: int = 10,
+) -> SweepResult:
+    """One full two-site DMRG sweep (reference ``run_two_site``,
+    ``dmrg.py:445``).  Bond truncation back to the static ``chi`` uses the
+    masked SVD; the squared truncated weight is accumulated."""
+    with jax.default_matmul_precision("highest"):
+        return _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs)
+
+
+def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs):
+    N, chi, d, _ = As.shape
+    As, Renvs = right_canonicalize_and_envs(As, Ws, vL, vR)
+    L0 = _boundary_left(chi, vL)
+    real_dtype = jnp.zeros((), As.dtype).real.dtype
+
+    # ---- left-to-right over bonds (0..N-2) ----
+    def body_lr(carry, inputs):
+        Lenv, pending, terr = carry
+        A_next, W1, W2, Renv = inputs
+        theta = jnp.einsum("asb,btc->astc", pending, A_next)
+        nrm = jnp.linalg.norm(theta)
+        theta = theta / jnp.where(nrm > 0, nrm, 1.0)
+        mv = lambda x: _matvec_2s(Lenv, W1, W2, Renv, x)
+        evals, evecs = krylov.eigsh_lanczos(
+            mv, theta, num_krylov_vecs=num_krylov_vecs, numeig=1)
+        th = evecs[0].reshape(chi * d, d * chi)
+        res = svd_masked(th, max_singular_values=chi)
+        s_norm = jnp.linalg.norm(res.s)
+        s = res.s / jnp.where(s_norm > 0, s_norm, 1.0)
+        U = res.u.reshape(chi, d, chi)
+        SV = (s[:, None] * res.vh).reshape(chi, d, chi)
+        Lenv_new = _update_left(Lenv, U, W1)
+        terr = terr + res.trunc_sq_norm.astype(real_dtype)
+        return (Lenv_new, SV, terr), (U, Lenv, evals[0])
+
+    carry0 = (L0, As[0], jnp.zeros((), real_dtype))
+    (Lenv_f, last, terr_lr), (Us, Lenvs, Es_lr) = jax.lax.scan(
+        body_lr, carry0, (As[1:], Ws[:-1], Ws[1:], Renvs[1:]))
+    As1 = jnp.concatenate([Us, last[None]], axis=0)
+    # left envs emitted at bond i correspond to site i; for the R->L pass we
+    # need Lenvs[i] for bonds (i, i+1), i = N-2..0 — exactly Lenvs.
+
+    R0 = _boundary_right(chi, vR)
+
+    def body_rl(carry, inputs):
+        Renv, pending, terr = carry
+        A_prev, W1, W2, Lenv = inputs
+        theta = jnp.einsum("asb,btc->astc", A_prev, pending)
+        nrm = jnp.linalg.norm(theta)
+        theta = theta / jnp.where(nrm > 0, nrm, 1.0)
+        mv = lambda x: _matvec_2s(Lenv, W1, W2, Renv, x)
+        evals, evecs = krylov.eigsh_lanczos(
+            mv, theta, num_krylov_vecs=num_krylov_vecs, numeig=1)
+        th = evecs[0].reshape(chi * d, d * chi)
+        res = svd_masked(th, max_singular_values=chi)
+        s_norm = jnp.linalg.norm(res.s)
+        s = res.s / jnp.where(s_norm > 0, s_norm, 1.0)
+        US = (res.u * s[None, :]).reshape(chi, d, chi)
+        V = res.vh.reshape(chi, d, chi)
+        Renv_new = _update_right(Renv, V, W2)
+        terr = terr + res.trunc_sq_norm.astype(real_dtype)
+        return (Renv_new, US, terr), (V, evals[0])
+
+    carry0 = (R0, As1[-1], terr_lr)
+    (_, first, terr), (Vs, Es_rl) = jax.lax.scan(
+        body_rl, carry0, (As1[:-1], Ws[:-1], Ws[1:], Lenvs), reverse=True)
+    As2 = jnp.concatenate([first[None], Vs], axis=0)
+    return SweepResult(As2, Es_rl[0], Es_rl, terr)
+
+
+def random_mps_stack(
+    key, N: int, chi: int, d: int = 2, dtype=jnp.float64,
+) -> Array:
+    """Random uniform MPS stack (N, chi, d, chi)."""
+    return jax.random.normal(key, (N, chi, d, chi), dtype) / np.sqrt(chi * d)
+
+
+class FiniteDMRG:
+    """Sweeping ground-state solver (reference ``FiniteDMRG``,
+    ``dmrg.py:572``).
+
+    Accepts either a stacked MPS array ``(N, chi, d, chi)`` or a
+    :class:`~tensornetwork_tpu.models.mps.FiniteMPS` (converted to a
+    uniform stack)."""
+
+    def __init__(self, mps, mpo: MPO):
+        if hasattr(mps, "to_stack"):
+            self._mps_obj = mps
+            self.As = mps.to_stack()
+        else:
+            self._mps_obj = None
+            self.As = jnp.asarray(mps)
+        self.mpo = mpo
+        if self.As.shape[0] != mpo.num_sites:
+            raise ValueError(
+                f"MPS has {self.As.shape[0]} sites but MPO has "
+                f"{mpo.num_sites}")
+        if self.As.shape[2] != mpo.phys_dim:
+            raise ValueError(
+                f"MPS physical dimension {self.As.shape[2]} != MPO "
+                f"physical dimension {mpo.phys_dim}")
+        self.energies: list = []
+        self.truncation_errors: list = []
+
+    def _run(self, sweep_fn, num_sweeps, num_krylov_vecs, tol, verbose):
+        e_prev = None
+        for sweep in range(num_sweeps):
+            res = sweep_fn(self.As, self.mpo.Ws, self.mpo.vL, self.mpo.vR,
+                           num_krylov_vecs=num_krylov_vecs)
+            self.As = res.As
+            e = float(res.energy)
+            self.energies.append(e)
+            self.truncation_errors.append(float(res.trunc_err))
+            if verbose > 0:
+                print(f"sweep {sweep}: E = {e:.12f}")
+            if e_prev is not None and abs(e - e_prev) < tol:
+                break
+            e_prev = e
+        if self._mps_obj is not None:
+            self._mps_obj.from_stack(self.As)
+        return self.energies[-1]
+
+    def run_one_site(self, num_sweeps: int = 4, num_krylov_vecs: int = 10,
+                     tol: float = 1e-10, verbose: int = 0) -> float:
+        """Run one-site DMRG; returns the converged energy."""
+        return self._run(one_site_sweep, num_sweeps, num_krylov_vecs, tol,
+                         verbose)
+
+    def run_two_site(self, num_sweeps: int = 4, num_krylov_vecs: int = 10,
+                     tol: float = 1e-10, verbose: int = 0) -> float:
+        """Run two-site DMRG with truncation back to the MPS bond dim."""
+        return self._run(two_site_sweep, num_sweeps, num_krylov_vecs, tol,
+                         verbose)
+
+    def compute_energy(self) -> float:
+        """<psi|H|psi>/<psi|psi> of the current state (reference
+        ``compute_energy``, ``dmrg.py:561``)."""
+        return float(mps_mpo_expectation(
+            self.As, self.mpo.Ws, self.mpo.vL, self.mpo.vR))
+
+
+@jax.jit
+def mps_mpo_expectation(As: Array, Ws: Array, vL: Array, vR: Array) -> Array:
+    """<psi|H|psi>/<psi|psi> on uniform stacks (identity boundary envs)."""
+    with jax.default_matmul_precision("highest"):
+        return _mps_mpo_expectation_impl(As, Ws, vL, vR)
+
+
+def _mps_mpo_expectation_impl(As, Ws, vL, vR):
+    N, chi, d, _ = As.shape
+    L = _boundary_left(chi, vL)
+
+    def body(L, inputs):
+        A, W = inputs
+        return _update_left(L, A, W), None
+
+    L, _ = jax.lax.scan(body, L, (As, Ws))
+    num = jnp.einsum("awc,ac,w->", L, jnp.eye(chi, dtype=As.dtype), vR)
+
+    n0 = jnp.eye(chi, dtype=As.dtype)
+
+    def nbody(nL, A):
+        return jnp.einsum("ac,atr,ctp->rp", nL, A, jnp.conj(A),
+                          optimize=True), None
+
+    nL, _ = jax.lax.scan(nbody, n0, As)
+    den = jnp.trace(nL)
+    return num / den

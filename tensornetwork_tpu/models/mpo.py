@@ -1,0 +1,246 @@
+"""Matrix-product operators, stored as uniform stacked arrays.
+
+Capability parity with the reference MPO zoo (reference
+``matrixproductstates/mpo.py:25-366``: ``BaseMPO/FiniteMPO/InfiniteMPO``,
+``FiniteXXZ``, ``FiniteTFI``, ``FiniteFreeFermion2D``), re-designed for the
+TPU execution model: every site's W-tensor has the same shape
+``(M, M, d, d)`` so the whole chain is one ``(N, M, M, d, d)`` array that
+``lax.scan`` iterates over; the open boundaries live in explicit boundary
+vectors ``vL``/``vR`` instead of ragged edge tensors.
+
+Index convention: ``W[wl, wr, s, t]`` with ``wl/wr`` the left/right MPO
+bond, ``s`` the output (bra) and ``t`` the input (ket) physical index.  The
+operator on the chain is ``vL · W_0 · W_1 ⋯ W_{N-1} · vR``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class MPO:
+    """A finite MPO as a uniform stack.
+
+    Attributes:
+      Ws:  (N, M, M, d, d) stacked site tensors.
+      vL:  (M,) left boundary vector.
+      vR:  (M,) right boundary vector.
+    """
+    Ws: jnp.ndarray
+    vL: jnp.ndarray
+    vR: jnp.ndarray
+
+    @property
+    def num_sites(self) -> int:
+        return self.Ws.shape[0]
+
+    @property
+    def bond_dim(self) -> int:
+        return self.Ws.shape[1]
+
+    @property
+    def phys_dim(self) -> int:
+        return self.Ws.shape[3]
+
+    @property
+    def tensors(self) -> List[jnp.ndarray]:
+        """Reference-style ragged view: boundary vectors absorbed into the
+        first/last site tensors (shapes (1,M,d,d) and (M,1,d,d))."""
+        Ws = self.Ws
+        first = jnp.einsum("w,wvst->vst", self.vL, Ws[0])[None, ...]
+        last = jnp.einsum("wvst,v->wst", Ws[-1], self.vR)[:, None, ...]
+        mid = [Ws[i] for i in range(1, self.num_sites - 1)]
+        return [first] + mid + [last]
+
+    def roll(self, n: int) -> "MPO":
+        """Cyclically shift sites (reference ``InfiniteMPO.roll``,
+        ``matrixproductstates/mpo.py:99``)."""
+        return MPO(jnp.roll(self.Ws, -n, axis=0), self.vL, self.vR)
+
+
+# -- spin-1/2 operator blocks -------------------------------------------------
+
+def _paulis(dtype=np.float64):
+    X = np.array([[0.0, 1.0], [1.0, 0.0]], dtype)
+    Z = np.array([[1.0, 0.0], [0.0, -1.0]], dtype)
+    I = np.eye(2, dtype=dtype)
+    return X, Z, I
+
+
+def _spin_half(dtype=np.float64):
+    Sp = np.array([[0.0, 1.0], [0.0, 0.0]], dtype)
+    Sm = np.array([[0.0, 0.0], [1.0, 0.0]], dtype)
+    Sz = np.diag([0.5, -0.5]).astype(dtype)
+    I = np.eye(2, dtype=dtype)
+    return Sp, Sm, Sz, I
+
+
+def FiniteTFI(
+    Jx: Union[float, Sequence[float]],
+    Bz: Union[float, Sequence[float]],
+    N: Optional[int] = None,
+    dtype=jnp.float64,
+) -> MPO:
+    """Transverse-field Ising MPO (reference ``FiniteTFI``,
+    ``matrixproductstates/mpo.py:223``).
+
+    H = sum_i Jx[i] X_i X_{i+1} + sum_i Bz[i] Z_i,  with Pauli X/Z.
+    ``Jx`` has length N-1 and ``Bz`` length N (scalars broadcast given N).
+    """
+    if N is None:
+        Bz = np.asarray(Bz, dtype=np.float64)
+        if Bz.ndim == 0:
+            raise ValueError("pass N for scalar couplings")
+        N = len(Bz)
+    Jx = np.broadcast_to(np.asarray(Jx, np.float64), (N - 1,)).copy()
+    Bz = np.broadcast_to(np.asarray(Bz, np.float64), (N,)).copy()
+    X, Z, I = _paulis()
+    M = 3
+    Ws = np.zeros((N, M, M, 2, 2))
+    # lower-triangular layout: vL selects row M-1, vR selects column 0
+    Jpad = np.concatenate([Jx, [0.0]])
+    for i in range(N):
+        Ws[i, 0, 0] = I
+        Ws[i, 1, 0] = X
+        Ws[i, 2, 0] = Bz[i] * Z
+        Ws[i, 2, 1] = Jpad[i] * X
+        Ws[i, 2, 2] = I
+    vL = np.zeros(M); vL[M - 1] = 1.0
+    vR = np.zeros(M); vR[0] = 1.0
+    return MPO(jnp.asarray(Ws, dtype), jnp.asarray(vL, dtype),
+               jnp.asarray(vR, dtype))
+
+
+def FiniteXXZ(
+    Jz: Union[float, Sequence[float]],
+    Jxy: Union[float, Sequence[float]],
+    Bz: Union[float, Sequence[float]],
+    N: Optional[int] = None,
+    dtype=jnp.float64,
+) -> MPO:
+    """Heisenberg XXZ MPO (reference ``FiniteXXZ``,
+    ``matrixproductstates/mpo.py:129``).
+
+    H = sum_i Jz[i] Sz_i Sz_{i+1}
+        + sum_i Jxy[i]/2 (S+_i S-_{i+1} + S-_i S+_{i+1})
+        - sum_i Bz[i] Sz_i,   spin-1/2 operators (Sz = diag(1/2, -1/2)).
+    """
+    if N is None:
+        Bz = np.asarray(Bz, dtype=np.float64)
+        if Bz.ndim == 0:
+            raise ValueError("pass N for scalar couplings")
+        N = len(Bz)
+    Jz = np.broadcast_to(np.asarray(Jz, np.float64), (N - 1,)).copy()
+    Jxy = np.broadcast_to(np.asarray(Jxy, np.float64), (N - 1,)).copy()
+    Bz = np.broadcast_to(np.asarray(Bz, np.float64), (N,)).copy()
+    Sp, Sm, Sz, I = _spin_half()
+    M = 5
+    Ws = np.zeros((N, M, M, 2, 2))
+    Jzp = np.concatenate([Jz, [0.0]])
+    Jxyp = np.concatenate([Jxy, [0.0]])
+    for i in range(N):
+        Ws[i, 0, 0] = I
+        Ws[i, 1, 0] = Sp
+        Ws[i, 2, 0] = Sm
+        Ws[i, 3, 0] = Sz
+        Ws[i, 4, 0] = -Bz[i] * Sz
+        Ws[i, 4, 1] = Jxyp[i] / 2.0 * Sm
+        Ws[i, 4, 2] = Jxyp[i] / 2.0 * Sp
+        Ws[i, 4, 3] = Jzp[i] * Sz
+        Ws[i, 4, 4] = I
+    vL = np.zeros(M); vL[M - 1] = 1.0
+    vR = np.zeros(M); vR[0] = 1.0
+    return MPO(jnp.asarray(Ws, dtype), jnp.asarray(vL, dtype),
+               jnp.asarray(vR, dtype))
+
+
+def FiniteFreeFermion2D(
+    t1: float,
+    t2: float,
+    mu: float,
+    N1: int,
+    N2: int,
+    dtype=jnp.float64,
+) -> MPO:
+    """Free fermions on an N1 x N2 cylinder, snake-ordered into a chain
+    (reference ``FiniteFreeFermion2D``, ``matrixproductstates/mpo.py:291``).
+
+    H = -t1 sum <ij>_row c+_i c_j - t2 sum <ij>_col c+_i c_j + h.c.
+        - mu sum n_i, with Jordan-Wigner strings along the snake.
+    """
+    N = N1 * N2
+    d = 2
+    # occupation basis |0>, |1>; Jordan-Wigner along the snake
+    sp = np.array([[0.0, 0.0], [1.0, 0.0]])   # sigma+ = c-dagger at site
+    sm = sp.T.copy()                          # sigma- = c at site
+    n = np.diag([0.0, 1.0])
+    Zjw = np.diag([1.0, -1.0])
+    I = np.eye(2)
+
+    def site(x, y):
+        # snake order: even rows go right, odd rows go left
+        return x * N2 + (y if x % 2 == 0 else N2 - 1 - y)
+
+    bonds = []  # (i, j, amp) with i < j in chain order
+    for x in range(N1):
+        for y in range(N2):
+            if y + 1 < N2:
+                i, j = sorted((site(x, y), site(x, y + 1)))
+                bonds.append((i, j, -t2))
+            if x + 1 < N1:
+                i, j = sorted((site(x, y), site(x + 1, y)))
+                bonds.append((i, j, -t1))
+    max_range = max(j - i for i, j, _ in bonds)
+
+    # finite-state machine: channel = (string type, remaining distance k);
+    # a hopping term amp*(sp_i Z..Z sm_j + sm_i Z..Z sp_j) starts at i with
+    # amp*sp (resp. amp*sm), passes through with Zjw decrementing k, and
+    # terminates at j (k=1) with sm (resp. sp).
+    M = 2 + 2 * max_range
+    DONE, IDLE = 0, M - 1
+
+    def chan_a(k):  # sp-started string, k sites until termination
+        return 1 + (k - 1)
+
+    def chan_b(k):  # sm-started string
+        return 1 + max_range + (k - 1)
+
+    Ws = np.zeros((N, M, M, d, d))
+    for s in range(N):
+        Ws[s, DONE, DONE] = I
+        Ws[s, IDLE, IDLE] = I
+        Ws[s, IDLE, DONE] = -mu * n
+        for k in range(2, max_range + 1):
+            Ws[s, chan_a(k), chan_a(k - 1)] = Zjw
+            Ws[s, chan_b(k), chan_b(k - 1)] = Zjw
+        Ws[s, chan_a(1), DONE] = sm
+        Ws[s, chan_b(1), DONE] = sp
+    for (i, j, amp) in bonds:
+        r = j - i
+        Ws[i, IDLE, chan_a(r)] += amp * sp
+        Ws[i, IDLE, chan_b(r)] += amp * sm
+    vL = np.zeros(M); vL[IDLE] = 1.0
+    vR = np.zeros(M); vR[0] = 1.0
+    return MPO(jnp.asarray(Ws, dtype), jnp.asarray(vL, dtype),
+               jnp.asarray(vR, dtype))
+
+
+def mpo_to_dense(mpo: MPO) -> np.ndarray:
+    """Materialize the full (d^N, d^N) operator — exact-diagonalization
+    oracle for tests (reference test strategy,
+    ``matrixproductstates/dmrg_test.py:18-33``)."""
+    Ws = np.asarray(mpo.Ws)
+    N, M, _, d, _ = Ws.shape
+    acc = np.tensordot(np.asarray(mpo.vL), Ws[0], axes=[[0], [0]])  # (M,d,d)
+    # acc[m, S, T] with S/T composite bra/ket indices
+    for i in range(1, N):
+        acc = np.einsum("mst,mkuv->ksutv", acc, Ws[i])
+        k = acc.shape[0]
+        acc = acc.reshape(k, acc.shape[1] * acc.shape[2],
+                          acc.shape[3] * acc.shape[4])
+    out = np.tensordot(acc, np.asarray(mpo.vR), axes=[[0], [0]])
+    return out

@@ -1,0 +1,4 @@
+from tensornetwork_tpu.parallel.mesh import (
+    make_mesh, shard_array, replicate, batch_spec)
+from tensornetwork_tpu.parallel.batch import (
+    batched_one_site_sweep, batched_two_site_sweep, BatchedDMRG)

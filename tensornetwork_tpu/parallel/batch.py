@@ -1,0 +1,94 @@
+"""Instance/batch parallelism (DP-analog) for DMRG and contractions.
+
+The reference's only batching primitive is the ncon batch label
+(reference ``ncon_interface.py:280-354``); everything else is serial.
+Here: thousands of independent network instances (disorder realizations,
+coupling scans) are stacked on a leading axis, ``vmap``-ed through the
+compiled sweep, and the batch axis is sharded across the mesh with
+``NamedSharding`` — XLA turns the per-instance Lanczos/QR/contraction into
+large batched MXU ops and inserts no cross-instance communication.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tensornetwork_tpu.models import dmrg as _dmrg
+from tensornetwork_tpu.models.mpo import MPO
+from tensornetwork_tpu.parallel.mesh import batch_spec, make_mesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+@functools.partial(jax.jit, static_argnames=("num_krylov_vecs",))
+def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10):
+    """One-site DMRG sweep over a batch of MPS instances.
+
+    ``As_batch``: (B, N, chi, d, chi); MPO shared across the batch.
+    Returns a batched :class:`~tensornetwork_tpu.models.dmrg.SweepResult`.
+    """
+    fn = lambda As: _dmrg.one_site_sweep(
+        As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs)
+    return jax.vmap(fn)(As_batch)
+
+
+@functools.partial(jax.jit, static_argnames=("num_krylov_vecs",))
+def batched_one_site_sweep_multi_mpo(As_batch, Ws_batch, vL, vR,
+                                     num_krylov_vecs: int = 10):
+    """Batch over both MPS instances and MPO realizations (disorder)."""
+    fn = lambda As, Ws: _dmrg.one_site_sweep(
+        As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs)
+    return jax.vmap(fn)(As_batch, Ws_batch)
+
+
+@functools.partial(jax.jit, static_argnames=("num_krylov_vecs",))
+def batched_two_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10):
+    fn = lambda As: _dmrg.two_site_sweep(
+        As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs)
+    return jax.vmap(fn)(As_batch)
+
+
+class BatchedDMRG:
+    """Ground-state search over many instances at once, sharded on a mesh.
+
+    This is the χ=1024 × 1k-realizations configuration of BASELINE.md run
+    the TPU way: instances ride the ``data`` mesh axis; the reference runs
+    them serially in Python.
+    """
+
+    def __init__(self, As_batch, mpo: MPO, mesh=None,
+                 batch_axis: str = "data"):
+        self.mesh = mesh
+        if mesh is not None:
+            As_batch = jax.device_put(
+                As_batch, batch_spec(mesh, batch_axis, As_batch.ndim))
+            ws_sharding = NamedSharding(mesh, P())
+            mpo = MPO(jax.device_put(mpo.Ws, ws_sharding),
+                      jax.device_put(mpo.vL, ws_sharding),
+                      jax.device_put(mpo.vR, ws_sharding))
+        self.As = As_batch
+        self.mpo = mpo
+        self.energies = None
+
+    def run_one_site(self, num_sweeps: int = 4,
+                     num_krylov_vecs: int = 10) -> jax.Array:
+        """Returns per-instance energies (B,)."""
+        for _ in range(num_sweeps):
+            res = batched_one_site_sweep(
+                self.As, self.mpo.Ws, self.mpo.vL, self.mpo.vR,
+                num_krylov_vecs=num_krylov_vecs)
+            self.As = res.As
+            self.energies = res.energy
+        return self.energies
+
+    def run_two_site(self, num_sweeps: int = 4,
+                     num_krylov_vecs: int = 10) -> jax.Array:
+        for _ in range(num_sweeps):
+            res = batched_two_site_sweep(
+                self.As, self.mpo.Ws, self.mpo.vL, self.mpo.vR,
+                num_krylov_vecs=num_krylov_vecs)
+            self.As = res.As
+            self.energies = res.energy
+        return self.energies

@@ -1,0 +1,141 @@
+"""DMRG tests vs exact diagonalization (reference oracle strategy:
+``matrixproductstates/dmrg_test.py:18-33,166-191``)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensornetwork_tpu.models import (
+    FiniteDMRG, FiniteTFI, FiniteXXZ, FiniteFreeFermion2D, mpo_to_dense)
+from tensornetwork_tpu.models.dmrg import (
+    random_mps_stack, mps_mpo_expectation)
+
+
+def exact_ground_energy(mpo):
+    H = mpo_to_dense(mpo)
+    return float(np.linalg.eigvalsh(H)[0])
+
+
+def test_mpo_to_dense_tfi_small():
+    # oracle consistency: dense TFI from MPO == hand-built TFI
+    N = 4
+    mpo = FiniteTFI(Jx=-1.0, Bz=-0.7, N=N)
+    H = mpo_to_dense(mpo)
+    X = np.array([[0, 1], [1, 0]]); Z = np.diag([1.0, -1.0]); I = np.eye(2)
+    def kron_at(ops):
+        out = np.array([[1.0]])
+        for o in ops:
+            out = np.kron(out, o)
+        return out
+    Href = np.zeros((16, 16))
+    for i in range(N - 1):
+        ops = [I] * N; ops[i] = X; ops[i + 1] = X
+        Href += -1.0 * kron_at(ops)
+    for i in range(N):
+        ops = [I] * N; ops[i] = Z
+        Href += -0.7 * kron_at(ops)
+    np.testing.assert_allclose(H, Href, atol=1e-12)
+
+
+def test_one_site_dmrg_tfi():
+    N, chi = 10, 16
+    mpo = FiniteTFI(Jx=-1.0, Bz=-1.0, N=N)
+    exact = exact_ground_energy(mpo)
+    mps = random_mps_stack(jax.random.PRNGKey(0), N, chi)
+    dmrg = FiniteDMRG(mps, mpo)
+    e = dmrg.run_one_site(num_sweeps=6, num_krylov_vecs=20)
+    np.testing.assert_allclose(e, exact, rtol=1e-8)
+    # energy functional of the final state agrees with the Lanczos energy
+    np.testing.assert_allclose(dmrg.compute_energy(), exact, rtol=1e-8)
+
+
+def test_two_site_dmrg_tfi():
+    N, chi = 8, 8
+    mpo = FiniteTFI(Jx=-1.0, Bz=-0.5, N=N)
+    exact = exact_ground_energy(mpo)
+    mps = random_mps_stack(jax.random.PRNGKey(1), N, chi)
+    dmrg = FiniteDMRG(mps, mpo)
+    e = dmrg.run_two_site(num_sweeps=6, num_krylov_vecs=20)
+    np.testing.assert_allclose(e, exact, rtol=1e-6)
+    # chi=8 < 2^4: genuine truncation happens and is reported
+    assert 0 < dmrg.truncation_errors[-1] < 1e-3
+    # with chi=16 the state is exact: truncation error ~ 0
+    mps2 = random_mps_stack(jax.random.PRNGKey(7), N, 16)
+    dmrg2 = FiniteDMRG(mps2, mpo)
+    e2 = dmrg2.run_two_site(num_sweeps=6, num_krylov_vecs=20)
+    np.testing.assert_allclose(e2, exact, rtol=1e-9)
+    # at chi=16 only Lanczos-residual tail weight remains
+    assert dmrg2.truncation_errors[-1] < 1e-5
+
+
+def test_one_site_dmrg_xxz():
+    N, chi = 8, 16
+    mpo = FiniteXXZ(Jz=1.0, Jxy=1.0, Bz=0.0, N=N)
+    exact = exact_ground_energy(mpo)
+    mps = random_mps_stack(jax.random.PRNGKey(2), N, chi)
+    dmrg = FiniteDMRG(mps, mpo)
+    e = dmrg.run_one_site(num_sweeps=8, num_krylov_vecs=20)
+    np.testing.assert_allclose(e, exact, rtol=1e-7)
+
+
+def test_free_fermion_2d_mpo():
+    # exact free-fermion oracle: sum of negative single-particle eigenvalues
+    N1, N2 = 2, 3
+    t1, t2, mu = 1.0, 0.8, 0.3
+    mpo = FiniteFreeFermion2D(t1, t2, mu, N1, N2)
+    H = mpo_to_dense(mpo)
+    # single-particle hopping matrix in chain (snake) order
+    N = N1 * N2
+    def site(x, y):
+        return x * N2 + (y if x % 2 == 0 else N2 - 1 - y)
+    h = np.zeros((N, N))
+    for x in range(N1):
+        for y in range(N2):
+            if y + 1 < N2:
+                i, j = site(x, y), site(x, y + 1)
+                h[i, j] += -t2; h[j, i] += -t2
+            if x + 1 < N1:
+                i, j = site(x, y), site(x + 1, y)
+                h[i, j] += -t1; h[j, i] += -t1
+    h -= mu * np.eye(N)
+    ev = np.linalg.eigvalsh(h)
+    exact = float(np.sum(ev[ev < 0]))
+    many_body = float(np.linalg.eigvalsh(H)[0])
+    np.testing.assert_allclose(many_body, exact, atol=1e-10)
+
+
+def test_dmrg_free_fermion_2d():
+    N1, N2 = 2, 3
+    mpo = FiniteFreeFermion2D(1.0, 0.8, 0.3, N1, N2)
+    exact = exact_ground_energy(mpo)
+    mps = random_mps_stack(jax.random.PRNGKey(3), N1 * N2, 16)
+    dmrg = FiniteDMRG(mps, mpo)
+    e = dmrg.run_one_site(num_sweeps=8, num_krylov_vecs=20)
+    np.testing.assert_allclose(e, exact, rtol=1e-7)
+
+
+def test_dmrg_shape_validation():
+    mpo = FiniteTFI(Jx=-1.0, Bz=-1.0, N=6)
+    with pytest.raises(ValueError):
+        FiniteDMRG(random_mps_stack(jax.random.PRNGKey(0), 5, 8), mpo)
+
+
+def test_expectation_value_random_state():
+    # <psi|H|psi>/<psi|psi> on a random uniform stack vs dense oracle
+    N, chi = 6, 5
+    mpo = FiniteTFI(Jx=-1.0, Bz=-0.9, N=N)
+    As = random_mps_stack(jax.random.PRNGKey(4), N, chi)
+    val = float(mps_mpo_expectation(As, mpo.Ws, mpo.vL, mpo.vR))
+    # oracle: materialize the (traced-boundary) state explicitly
+    A = np.asarray(As)
+    H = mpo_to_dense(mpo)
+    # psi[a, s1..sN, b] with free boundary bonds a, b
+    psi = np.transpose(A[0], (0, 1, 2)).reshape(chi, 2, chi)
+    acc = psi
+    for i in range(1, N):
+        acc = np.einsum("a...b,bsc->a...sc", acc, A[i])
+    vec = acc.reshape(chi, 2**N, chi)
+    # trace boundaries: sum over diagonal boundary pairs
+    num = np.einsum("aib,ij,ajb->", vec, H, vec)
+    den = np.einsum("aib,aib->", vec, vec)
+    np.testing.assert_allclose(val, num / den, rtol=1e-10)

@@ -1,0 +1,104 @@
+"""Krylov solver tests vs numpy/scipy oracles (mirrors reference
+``backends/jax/jitted_functions_test.py`` strategy)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensornetwork_tpu.ops import krylov
+
+
+def _herm(rng, n):
+    a = rng.standard_normal((n, n))
+    return (a + a.T) / 2
+
+
+def test_lanczos_ground_state(rng):
+    n = 50
+    H = _herm(rng, n)
+    exact = np.linalg.eigvalsh(H)[0]
+    v0 = jnp.asarray(rng.standard_normal(n))
+    mv = lambda x: jnp.asarray(H) @ x
+    evals, evecs = krylov.eigsh_lanczos(mv, v0, num_krylov_vecs=40, numeig=1)
+    np.testing.assert_allclose(float(evals[0]), exact, rtol=1e-8)
+    v = np.asarray(evecs[0])
+    np.testing.assert_allclose(H @ v, exact * v, atol=1e-6)
+
+
+def test_lanczos_multiple_eigs(rng):
+    n = 60
+    H = _herm(rng, n)
+    exact = np.linalg.eigvalsh(H)[:3]
+    v0 = jnp.asarray(rng.standard_normal(n))
+    mv = lambda x: jnp.asarray(H) @ x
+    evals, _ = krylov.eigsh_lanczos(mv, v0, num_krylov_vecs=60, numeig=3)
+    np.testing.assert_allclose(np.asarray(evals), exact, rtol=1e-7)
+
+
+def test_lanczos_tensor_shaped_state(rng):
+    # matvec on a (4, 5) shaped state, as DMRG uses
+    n = 20
+    H = _herm(rng, n)
+    v0 = jnp.asarray(rng.standard_normal((4, 5)))
+    mv = lambda x: (jnp.asarray(H) @ x.reshape(-1)).reshape(4, 5)
+    evals, evecs = krylov.eigsh_lanczos(mv, v0, num_krylov_vecs=20)
+    assert evecs.shape == (1, 4, 5)
+    np.testing.assert_allclose(float(evals[0]), np.linalg.eigvalsh(H)[0],
+                               rtol=1e-8)
+
+
+def test_lanczos_under_jit_and_vmap(rng):
+    n = 16
+    batch = 4
+    Hs = np.stack([_herm(rng, n) for _ in range(batch)])
+    v0s = jnp.asarray(rng.standard_normal((batch, n)))
+
+    def solve(H, v0):
+        return krylov.eigsh_lanczos(lambda x: H @ x, v0,
+                                    num_krylov_vecs=16)[0][0]
+
+    evals = jax.jit(jax.vmap(solve))(jnp.asarray(Hs), v0s)
+    exact = np.array([np.linalg.eigvalsh(H)[0] for H in Hs])
+    np.testing.assert_allclose(np.asarray(evals), exact, rtol=1e-7)
+
+
+def test_arnoldi_eigs_dominant(rng):
+    n = 40
+    A = rng.standard_normal((n, n))
+    exact = np.linalg.eigvals(A)
+    dom = exact[np.argmax(np.abs(exact))]
+    v0 = jnp.asarray(rng.standard_normal(n))
+    evals, vecs = krylov.eigs(lambda x: jnp.asarray(A) @ x, v0,
+                              num_krylov_vecs=40, numeig=1)
+    np.testing.assert_allclose(np.abs(evals[0]), np.abs(dom), rtol=1e-6)
+
+
+def test_gmres(rng):
+    n = 30
+    A = np.eye(n) * 4 + rng.standard_normal((n, n)) * 0.3
+    b = rng.standard_normal(n)
+    x, _ = krylov.gmres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                        num_krylov_vectors=30, maxiter=3)
+    np.testing.assert_allclose(A @ np.asarray(x), b, atol=1e-6)
+
+
+def test_gmres_with_x0_and_restarts(rng):
+    n = 50
+    A = np.eye(n) * 5 + rng.standard_normal((n, n)) * 0.2
+    b = rng.standard_normal(n)
+    x0 = jnp.asarray(rng.standard_normal(n))
+    x, info = krylov.gmres(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                           x0=x0, num_krylov_vectors=20, maxiter=6)
+    assert info == 0
+    np.testing.assert_allclose(A @ np.asarray(x), b, atol=1e-5)
+
+
+def test_eigsh_which(rng):
+    n = 30
+    H = _herm(rng, n)
+    exact = np.linalg.eigvalsh(H)
+    v0 = jnp.asarray(rng.standard_normal(n))
+    mv = lambda x: jnp.asarray(H) @ x
+    lo, _ = krylov.eigsh(mv, v0, num_krylov_vecs=30, which="SA")
+    hi, _ = krylov.eigsh(mv, v0, num_krylov_vecs=30, which="LA")
+    np.testing.assert_allclose(float(lo[0]), exact[0], rtol=1e-8)
+    np.testing.assert_allclose(float(hi[0]), exact[-1], rtol=1e-8)
