@@ -10,5 +10,22 @@ from tensornetwork_tpu.config import Config, config_context, get_config
 from tensornetwork_tpu.ops.ncon import ncon, finalize
 from tensornetwork_tpu.ops.decompositions import (
     svd, qr, rq, eigh, svd_masked, MaskedSVD)
+from tensornetwork_tpu.ops import krylov
+
+# graph core (reference ``network_components.py`` / ``network_operations.py``)
+from tensornetwork_tpu.core.network import (
+    AbstractNode, Node, CopyNode, Edge, NodeCollection,
+    connect, disconnect, contract, contract_between, contract_parallel,
+    contract_copy_node, outer_product, flatten_edges,
+    flatten_edges_between, flatten_all_edges, split_edge, slice_edge,
+    get_all_edges, get_all_dangling, get_all_nondangling,
+    get_shared_edges, get_parallel_edges)
+from tensornetwork_tpu.core.operations import (
+    copy, replicate_nodes, remove_node, reachable, check_correct,
+    check_connected, get_subgraph_dangling, redirect_edge,
+    split_node, split_node_qr, split_node_rq, split_node_full_svd,
+    reduced_density, nodes_to_json, nodes_from_json)
+
+from tensornetwork_tpu import contractors
 
 __version__ = "0.1.0"
