@@ -28,4 +28,15 @@ from tensornetwork_tpu.core.operations import (
 
 from tensornetwork_tpu import contractors
 
+# functional layer (reference ``tensor.py`` / ``linalg/``)
+from tensornetwork_tpu.core.tensor import Tensor, NconBuilder
+from tensornetwork_tpu.core import linalg
+
+# quantum operators (reference ``quantum/``)
+from tensornetwork_tpu import quantum
+
+# utilities (reference ``utils.py`` / ``visualization/``)
+from tensornetwork_tpu.utils import (
+    save_nodes, load_nodes, from_topology, to_graphviz)
+
 __version__ = "0.1.0"

@@ -456,5 +456,7 @@ def ncon(
 
 
 def finalize(builder) -> Any:
-    """Execute an :class:`NconBuilder` (reference ``ncon_interface.py:665``)."""
-    return ncon(builder.tensors, builder.axes)
+    """Execute an :class:`NconBuilder` (reference ``ncon_interface.py:665``);
+    returns a :class:`~tensornetwork_tpu.core.tensor.Tensor`."""
+    from tensornetwork_tpu.core.tensor import Tensor
+    return Tensor(ncon(builder.tensors, builder.axes))
