@@ -1,0 +1,12 @@
+from tensornetwork_tpu.blocksparse.charge import (
+    BaseCharge, U1Charge, Z2Charge, ZNCharge, fuse_charges, charge_equal)
+from tensornetwork_tpu.blocksparse.index import Index, fuse_index_pair
+from tensornetwork_tpu.blocksparse.tensor import (
+    ChargeArray, BlockSparseTensor, tensordot, outerproduct, transpose,
+    reshape, conj)
+from tensornetwork_tpu.blocksparse.linalg import (
+    svd, qr, eigh, eig, diag, trace, pinv, eye, norm, inv, sqrt)
+from tensornetwork_tpu.blocksparse.initialization import (
+    randn, zeros, ones, random, randn_like, empty_like)
+from tensornetwork_tpu.blocksparse.caching import (
+    enable_caching, disable_caching, clear_cache, get_cacher)

