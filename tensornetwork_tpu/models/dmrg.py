@@ -47,23 +47,23 @@ Array = jax.Array
 
 def _update_left(L: Array, A: Array, W: Array) -> Array:
     return jnp.einsum("awc,atr,wvst,csp->rvp", L, A, W, jnp.conj(A),
-                      optimize=True)
+                      optimize="auto")
 
 
 def _update_right(R: Array, A: Array, W: Array) -> Array:
     return jnp.einsum("bvd,ltb,wvst,psd->lwp", R, A, W, jnp.conj(A),
-                      optimize=True)
+                      optimize="auto")
 
 
 def _matvec_1s(L: Array, W: Array, R: Array, x: Array) -> Array:
     # y[c, s, d] = L[a,w,c] W[w,v,s,t] x[a,t,b] R[b,v,d]
-    return jnp.einsum("awc,wvst,atb,bvd->csd", L, W, x, R, optimize=True)
+    return jnp.einsum("awc,wvst,atb,bvd->csd", L, W, x, R, optimize="auto")
 
 
 def _matvec_2s(L: Array, W1: Array, W2: Array, R: Array, x: Array) -> Array:
     # y[c, s, u, d] = L[a,w,c] W1[w,m,s,t] W2[m,v,u,z] x[a,t,z,b] R[b,v,d]
     return jnp.einsum("awc,wmst,mvuz,atzb,bvd->csud", L, W1, W2, x, R,
-                      optimize=True)
+                      optimize="auto")
 
 
 def _boundary_left(chi: int, vL: Array) -> Array:
@@ -349,7 +349,7 @@ def _mps_mpo_expectation_impl(As, Ws, vL, vR):
 
     def nbody(nL, A):
         return jnp.einsum("ac,atr,ctp->rp", nL, A, jnp.conj(A),
-                          optimize=True), None
+                          optimize="auto"), None
 
     nL, _ = jax.lax.scan(nbody, n0, As)
     den = jnp.trace(nL)

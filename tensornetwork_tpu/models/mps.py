@@ -38,11 +38,11 @@ Array = jax.Array
 
 
 def _norm_update_left(nL: Array, A: Array) -> Array:
-    return jnp.einsum("ac,atr,ctp->rp", nL, A, jnp.conj(A), optimize=True)
+    return jnp.einsum("ac,atr,ctp->rp", nL, A, jnp.conj(A), optimize="auto")
 
 
 def _norm_update_right(nR: Array, A: Array) -> Array:
-    return jnp.einsum("bd,ltb,ptd->lp", nR, A, jnp.conj(A), optimize=True)
+    return jnp.einsum("bd,ltb,ptd->lp", nR, A, jnp.conj(A), optimize="auto")
 
 
 @jax.jit
@@ -260,7 +260,7 @@ class FiniteMPS:
         def body(E, inputs):
             A, B = inputs
             return jnp.einsum("ac,atr,ctp->rp", E, A, jnp.conj(B),
-                              optimize=True), None
+                              optimize="auto"), None
 
         E, _ = jax.lax.scan(body, E, (self.As, other.As))
         return jnp.trace(E)
@@ -280,7 +280,7 @@ class FiniteMPS:
             A = self.As[site]
             num = jnp.einsum("ac,atb,st,csd,bd->", nLs[site], A,
                              jnp.asarray(op, self.dtype), jnp.conj(A),
-                             nRs[site], optimize=True)
+                             nRs[site], optimize="auto")
             out.append(num / den)
         return out
 
@@ -300,26 +300,26 @@ class FiniteMPS:
         if site1 in sites2:
             num = jnp.einsum("ac,atb,st,csd,bd->", nLs[site1], A1,
                              op1 @ op2, jnp.conj(A1), nRs[site1],
-                             optimize=True)
+                             optimize="auto")
             results[site1] = num / den
         # j > site1: env with op1 inserted, scan right
         E = jnp.einsum("ac,atb,st,csd->bd", nLs[site1], A1, op1,
-                       jnp.conj(A1), optimize=True)
+                       jnp.conj(A1), optimize="auto")
         for j in range(site1 + 1, N):
             if j in sites2:
                 A = self.As[j]
                 num = jnp.einsum("ac,atb,st,csd,bd->", E, A, op2,
-                                 jnp.conj(A), nRs[j], optimize=True)
+                                 jnp.conj(A), nRs[j], optimize="auto")
                 results[j] = num / den
             E = _norm_update_left(E, self.As[j])
         # j < site1: env with op1 inserted, scan left
         E = jnp.einsum("bd,atb,st,csd->ac", nRs[site1], A1, op1,
-                       jnp.conj(A1), optimize=True)
+                       jnp.conj(A1), optimize="auto")
         for j in range(site1 - 1, -1, -1):
             if j in sites2:
                 A = self.As[j]
                 num = jnp.einsum("bd,atb,st,csd,ac->", E, A, op2,
-                                 jnp.conj(A), nLs[j], optimize=True)
+                                 jnp.conj(A), nLs[j], optimize="auto")
                 results[j] = num / den
             E = _norm_update_right(E, self.As[j])
         return [results[j] for j in sites2]
@@ -358,7 +358,7 @@ class FiniteMPS:
         # gate index convention (o1, o2, i1, i2), as in the reference
         # (``base_mps.py:546-548``)
         theta = jnp.einsum("asb,btc,uvst->auvc", self.As[site1],
-                           self.As[site2], gate, optimize=True)
+                           self.As[site2], gate, optimize="auto")
         res = svd_masked(theta.reshape(chi * d, d * chi),
                          max_singular_values=max_singular_values or chi,
                          max_truncation_error=max_truncation_err)

@@ -1,0 +1,113 @@
+"""NN layer tests (reference strategy: ``tn_keras/test_*.py`` — forward
+shape checks, parameter counts, and a training-step smoke test)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tensornetwork_tpu.nn import (
+    DenseDecomp, DenseMPO, DenseCondenser, DenseExpander, DenseEntangler,
+    Conv2DMPO)
+
+
+def n_params(params):
+    return sum(int(np.prod(p.shape))
+               for p in jax.tree_util.tree_leaves(params))
+
+
+def test_dense_decomp_shapes_and_params(rng):
+    layer = DenseDecomp(output_dim=64, decomp_size=8)
+    x = jnp.asarray(rng.standard_normal((3, 128)), jnp.float32)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    y = layer.apply(params, x)
+    assert y.shape == (3, 64)
+    # fewer params than the dense layer it replaces
+    assert n_params(params) < 128 * 64 + 64
+
+
+def test_dense_mpo_matches_materialized_kernel(rng):
+    layer = DenseMPO(output_dim=27, num_nodes=3, bond_dim=4,
+                     use_bias=False)
+    x = jnp.asarray(rng.standard_normal((5, 8)), jnp.float32)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    y = layer.apply(params, x)
+    assert y.shape == (5, 27)
+    # oracle: materialize the full weight from the cores
+    p = params["params"]
+    c0 = np.asarray(p["node_0"]).reshape(2, 3, 4)
+    c1 = np.asarray(p["node_1"]).reshape(4, 2, 3, 4)
+    c2 = np.asarray(p["node_2"]).reshape(4, 2, 3)
+    w = np.einsum("aob,bipc,cjq->aijopq", c0, c1, c2)
+    w = w.reshape(8, 27)
+    oracle = np.asarray(x) @ w
+    np.testing.assert_allclose(np.asarray(y), oracle, atol=1e-5)
+
+
+def test_dense_mpo_num_nodes_validation(rng):
+    x = jnp.ones((2, 8))
+    with pytest.raises(ValueError):
+        DenseMPO(output_dim=27, num_nodes=3, bond_dim=2).init(
+            jax.random.PRNGKey(0), jnp.ones((2, 10)))  # 10 not a cube
+
+
+def test_condenser_expander(rng):
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    cond = DenseCondenser(exp_base=2, num_nodes=3)
+    params = cond.init(jax.random.PRNGKey(0), x)
+    y = cond.apply(params, x)
+    assert y.shape == (4, 8)
+
+    exp = DenseExpander(exp_base=2, num_nodes=2)
+    params = exp.init(jax.random.PRNGKey(0), y)
+    z = exp.apply(params, y)
+    assert z.shape == (4, 32)
+
+
+def test_entangler(rng):
+    x = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+    layer = DenseEntangler(output_dim=81, num_legs=4, num_levels=2)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    y = layer.apply(params, x)
+    assert y.shape == (2, 81)
+
+
+def test_conv2d_mpo(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    layer = Conv2DMPO(filters=9, kernel_size=(3, 3), num_nodes=2,
+                      bond_dim=3)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    y = layer.apply(params, x)
+    assert y.shape == (2, 8, 8, 9)
+    # strides + VALID padding
+    layer2 = Conv2DMPO(filters=9, kernel_size=(3, 3), num_nodes=2,
+                       bond_dim=3, strides=(2, 2), padding="VALID")
+    params2 = layer2.init(jax.random.PRNGKey(0), x)
+    y2 = layer2.apply(params2, x)
+    assert y2.shape == (2, 3, 3, 9)
+
+
+def test_training_step_decreases_loss(rng):
+    # tiny regression: y = sum(x), model must fit it a bit
+    layer = DenseMPO(output_dim=4, num_nodes=2, bond_dim=4,
+                     activation=None)
+    x = jnp.asarray(rng.standard_normal((64, 16)), jnp.float32)
+    t = jnp.tile(jnp.sum(x, axis=1, keepdims=True), (1, 4))
+    params = layer.init(jax.random.PRNGKey(0), x)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            pred = layer.apply(p, x)
+            return jnp.mean((pred - t) ** 2)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(60):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0]
