@@ -420,12 +420,21 @@ class BlockSparseTensor:
                 prod *= elementary_dims[i]
                 g.append(i)
                 i += 1
+            if not g and i < len(elementary_dims) \
+                    and elementary_dims[i] == 1:
+                # a target dim of 1 consumes an elementary dim-1 leg
+                g.append(i)
+                i += 1
             if prod != s:
                 raise ValueError(
                     f"cannot reshape {self.shape} into {tuple(shape)}: "
                     f"target dim {s} does not align with elementary legs "
                     f"{elementary_dims}")
             new_order.append(g)
+        # absorb trailing dim-1 elementary legs into the last group
+        while i < len(elementary_dims) and elementary_dims[i] == 1:
+            new_order[-1].append(i)
+            i += 1
         if i != len(elementary_dims):
             raise ValueError(
                 f"cannot reshape {self.shape} into {tuple(shape)}")

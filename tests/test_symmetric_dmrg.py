@@ -1,0 +1,93 @@
+"""U(1) symmetric DMRG tests vs sector-projected exact diagonalization
+(reference strategy: ``examples/dmrg/symmetric_dmrg.py`` +
+``dmrg_test.py`` oracles)."""
+import itertools
+
+import numpy as np
+import pytest
+
+from tensornetwork_tpu.models.mpo import FiniteXXZ, mpo_to_dense
+from tensornetwork_tpu.models.symmetric_dmrg import (
+    SymmetricFiniteDMRG, u1_xxz_mpo, half_filled_mps, _add_left,
+    _boundary_left, _boundary_right)
+from tensornetwork_tpu.blocksparse import tensordot
+
+
+def sector_ground_energy(N, Jz, Jxy, Bz, n_up):
+    H = mpo_to_dense(FiniteXXZ(Jz, Jxy, Bz, N))
+    # basis states with fixed number of up spins; spin up = |1> (n=1)
+    idx = [i for i in range(2 ** N)
+           if bin(i).count("1") == n_up]
+    Hs = H[np.ix_(idx, idx)]
+    return float(np.linalg.eigvalsh(Hs)[0])
+
+
+def test_u1_mpo_matches_dense():
+    N = 5
+    mpos = u1_xxz_mpo(1.0, 1.0, 0.2, N)
+    dense_ref = np.asarray(mpo_to_dense(FiniteXXZ(1.0, 1.0, 0.2, N)))
+    # rebuild dense operator from the block-sparse site tensors
+    out = mpos[0].todense()[0]  # (wr, S, T) = (5, 2, 2)
+    for site in range(1, N):
+        w = mpos[site].todense()  # (wl, wr, s, t)
+        out = np.einsum("mST,mkst->kSsTt", out, w)
+        out = out.reshape(out.shape[0], out.shape[1] * out.shape[2],
+                          out.shape[3] * out.shape[4])
+    dense = out[0]
+    np.testing.assert_allclose(dense, dense_ref, atol=1e-12)
+
+
+def test_one_site_symmetric_dmrg_xxz():
+    N, chi = 8, 16
+    mpo = u1_xxz_mpo(1.0, 1.0, 0.0, N)
+    mps = half_filled_mps(N, chi, seed=1)
+    dmrg = SymmetricFiniteDMRG(mps, mpo)
+    e = dmrg.run_one_site(num_sweeps=8, num_krylov_vecs=30)
+    exact = sector_ground_energy(N, 1.0, 1.0, 0.0, N // 2)
+    # one-site DMRG cannot re-select bond charge sectors, so it converges
+    # within the randomly drawn sector structure only (the reference's
+    # symmetric example uses two-site for the same reason)
+    np.testing.assert_allclose(e, exact, rtol=5e-3)
+    # the state conserves charge: total charge of every tensor is zero
+    for t in dmrg.mps:
+        assert t.data.shape[0] > 0
+
+
+def test_two_site_symmetric_dmrg_xxz():
+    N, chi = 6, 12
+    mpo = u1_xxz_mpo(1.0, 1.0, 0.1, N)
+    mps = half_filled_mps(N, chi, seed=2)
+    dmrg = SymmetricFiniteDMRG(mps, mpo)
+    e = dmrg.run_two_site(max_bond_dim=chi, num_sweeps=8,
+                          num_krylov_vecs=30)
+    exact = sector_ground_energy(N, 1.0, 1.0, 0.1, N // 2)
+    np.testing.assert_allclose(e, exact, rtol=1e-7)
+
+
+def test_energy_via_environments_consistent():
+    # <psi|H|psi> computed by full env contraction matches run output
+    N, chi = 6, 8
+    mpo = u1_xxz_mpo(1.0, 1.0, 0.0, N)
+    mps = half_filled_mps(N, chi, seed=3)
+    dmrg = SymmetricFiniteDMRG(mps, mpo)
+    e = dmrg.run_one_site(num_sweeps=4, num_krylov_vecs=25)
+    L = _boundary_left()
+    for site in range(N):
+        L = _add_left(L, dmrg.mps[site], dmrg.mpo[site])
+    R = _boundary_right(dmrg.mps[-1].flat_charges[-1])
+    num = tensordot(L, R, [[0, 1, 2], [0, 1, 2]])
+    # state is normalized after the sweep's QR chain up to the last site
+    nrm2 = 0.0
+    from tensornetwork_tpu.blocksparse import norm as bs_norm
+    # compute <psi|psi> via plain transfer
+    E = None
+    for site in range(N):
+        A = dmrg.mps[site]
+        if E is None:
+            E = tensordot(A, A.conj(), [[0, 1], [0, 1]])
+        else:
+            t = tensordot(E, A, [[0], [0]])
+            E = tensordot(t, A.conj(), [[0, 1], [0, 1]])
+    den = float(E.todense().reshape(-1)[0]) if hasattr(E, "todense") else \
+        float(E)
+    np.testing.assert_allclose(float(num) / den, e, rtol=1e-8)
