@@ -90,11 +90,14 @@ def _rq_shift_left(A: Array) -> Tuple[Array, Array]:
 
 def right_canonicalize_and_envs(
     As: Array, Ws: Array, vL: Array, vR: Array,
+    R0: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """One reverse scan: bring all sites to right-canonical form and emit the
-    right environment stack ``Renvs[i]`` = env of sites > i."""
+    right environment stack ``Renvs[i]`` = env of sites > i.  ``R0``
+    optionally overrides the open-boundary right environment."""
     N, chi, d, _ = As.shape
-    R0 = _boundary_right(chi, vR)
+    if R0 is None:
+        R0 = _boundary_right(chi, vR)
     Lm0 = jnp.eye(chi, dtype=As.dtype)
 
     def body(carry, inputs):
@@ -126,20 +129,34 @@ class SweepResult(NamedTuple):
 def one_site_sweep(
     As: Array, Ws: Array, vL: Array, vR: Array,
     num_krylov_vecs: int = 10,
+    boundary_envs: Optional[Tuple[Array, Array]] = None,
 ) -> SweepResult:
     """One full (left-to-right + right-to-left) one-site DMRG sweep as a
-    single XLA computation (reference ``run_one_site``, ``dmrg.py:345``)."""
+    single XLA computation (reference ``run_one_site``, ``dmrg.py:345``).
+
+    ``boundary_envs``: optional explicit (L0, R0) environments of shape
+    (chi, M, chi) replacing the open-boundary defaults — this is how a
+    chain *block* inside a distributed sweep sees its frozen neighbors.
+    The norm environments at the block boundary must be (gauged to) the
+    identity for the Lanczos to be a standard eigenproblem."""
     with jax.default_matmul_precision("highest"):
-        return _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs)
+        return _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
+                                    boundary_envs)
 
 
-def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs):
+def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
+                         boundary_envs=None):
     # Lanczos is precision-critical: bf16 MXU passes make the tridiagonal
     # projection non-variational (energies below the true ground state),
     # hence the forced float32 accumulation above.
     N, chi, d, _ = As.shape
-    As, Renvs = right_canonicalize_and_envs(As, Ws, vL, vR)
-    L0 = _boundary_left(chi, vL)
+    As, Renvs = right_canonicalize_and_envs(
+        As, Ws, vL, vR,
+        R0=None if boundary_envs is None else boundary_envs[1])
+    if boundary_envs is None:
+        L0 = _boundary_left(chi, vL)
+    else:
+        L0 = boundary_envs[0]
     eye = jnp.eye(chi, dtype=As.dtype)
 
     def body_lr(carry, inputs):
@@ -158,7 +175,10 @@ def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs):
     (_, Rm_last), (As1, Lenvs, Es_lr) = jax.lax.scan(
         body_lr, (L0, eye), (As, Ws, Renvs))
 
-    R0 = _boundary_right(chi, vR)
+    if boundary_envs is None:
+        R0 = _boundary_right(chi, vR)
+    else:
+        R0 = boundary_envs[1]
 
     def body_rl(carry, inputs):
         Renv, Lm = carry
