@@ -1,0 +1,61 @@
+"""Example-script smoke tests (reference strategy: tests under
+``examples/*/``)."""
+import runpy
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _load(path):
+    """Import an example module's functions without running __main__."""
+    src = open(path).read().split('if __name__')[0]
+    ns = {}
+    exec(compile(src, path, "exec"), ns)
+    return ns
+
+
+def test_fft_example():
+    ns = _load("examples/fft.py")
+    rng = np.random.default_rng(1)
+    for n in (8, 32):
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        np.testing.assert_allclose(ns["fft_via_network"](x), np.fft.fft(x),
+                                   atol=1e-8)
+
+
+def test_sat_example():
+    ns = _load("examples/sat.py")
+    assert ns["sat_count"]([(1, 2, 3)]) == 7
+    assert ns["sat_count"]([(1, 2, 3), (-1, -2, -3)]) == 6
+    # a formula over 4 variables
+    clauses = [(1, 2, 3), (2, 3, 4), (-1, -2, 4)]
+    import itertools
+    brute = 0
+    for bits in itertools.product([0, 1], repeat=4):
+        ok = all(any((bits[abs(l) - 1] == 1) == (l > 0) for l in c)
+                 for c in clauses)
+        brute += ok
+    assert ns["sat_count"](clauses) == brute
+
+
+def test_dmrg_example_small():
+    ns = _load("examples/dmrg_tfi.py")
+    e = ns["main"](N=8, chi=16, sweeps=4)
+    from tensornetwork_tpu.models import FiniteTFI, mpo_to_dense
+    exact = float(np.linalg.eigvalsh(
+        np.asarray(mpo_to_dense(FiniteTFI(Jx=1.0, Bz=1.0, N=8))))[0])
+    np.testing.assert_allclose(e, exact, rtol=1e-6)
+
+
+def test_symmetric_dmrg_example_small():
+    ns = _load("examples/symmetric_dmrg.py")
+    e = ns["main"](N=8, chi=16, sweeps=5)
+    assert e < 0
+
+
+def test_wavefunctions_example_small():
+    ns = _load("examples/wavefunctions.py")
+    fid = ns["main"](N=6, dt=0.02, steps=10)
+    assert fid > 0.999
