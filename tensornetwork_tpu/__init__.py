@@ -39,4 +39,21 @@ from tensornetwork_tpu import quantum
 from tensornetwork_tpu.utils import (
     save_nodes, load_nodes, from_topology, to_graphviz)
 
+# block-sparse symmetric tensors (reference ``block_sparse/``)
+from tensornetwork_tpu import blocksparse
+
+import jax as _jax
+
+
+def jit(fun=None, backend=None, backend_argnum=None, static_argnums=None,
+        **kwargs):
+    """Reference-compatible jit decorator (reference
+    ``backends/decorators.py:26-89``): the backend arguments are accepted
+    for API parity and ignored — XLA is the only execution layer."""
+    if fun is None:
+        return lambda f: _jax.jit(f, static_argnums=static_argnums,
+                                  **kwargs)
+    return _jax.jit(fun, static_argnums=static_argnums, **kwargs)
+
+
 __version__ = "0.1.0"

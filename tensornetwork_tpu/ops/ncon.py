@@ -446,6 +446,10 @@ def ncon(
         globals()["check_network"](structure, shapes, con_order, out_order)
     con_order_t = tuple(con_order) if con_order is not None else None
     out_order_t = tuple(out_order) if out_order is not None else None
+    from tensornetwork_tpu.blocksparse.tensor import BlockSparseTensor
+    if any(isinstance(t, BlockSparseTensor) for t in tensors):
+        plan = _cached_plan(structure, con_order_t, out_order_t)
+        return _execute_plan_blocksparse(plan, tensors)
     tensors = [t if isinstance(t, jax.Array) else jnp.asarray(t)
                for t in tensors]
     if jit:
@@ -453,6 +457,34 @@ def ncon(
         return fn(*tensors)
     plan = _cached_plan(structure, con_order_t, out_order_t)
     return execute_plan(plan, tensors)
+
+
+def _execute_plan_blocksparse(plan: ContractionPlan, tensors):
+    """Replay a plan on block-sparse operands (host numpy path; pairwise
+    contractions and the final transpose — the symmetric-backend ncon
+    surface, reference ``backends/symmetric``)."""
+    from tensornetwork_tpu.blocksparse import tensor as bst
+    slots = list(tensors)
+    for op in plan.steps:
+        if op.kind == "pair":
+            if op.batch_a or op.batch_b:
+                raise NotImplementedError(
+                    "batch labels are not supported for block-sparse ncon")
+            slots[op.a] = bst.tensordot(
+                slots[op.a], slots[op.b],
+                [list(op.cont_a), list(op.cont_b)])
+            slots[op.b] = None
+        elif op.kind == "final":
+            t = slots[op.a]
+            if hasattr(t, "transpose") and op.perm != tuple(
+                    range(getattr(t, "ndim", 0))):
+                t = t.transpose(list(op.perm))
+            return t
+        else:
+            raise NotImplementedError(
+                f"ncon op {op.kind!r} is not supported for block-sparse "
+                f"operands (supported: pairwise contraction + transpose)")
+    raise AssertionError("plan had no final step")
 
 
 def finalize(builder) -> Any:

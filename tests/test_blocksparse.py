@@ -288,3 +288,29 @@ def test_compute_num_nonzero_matches_dense(rng):
     # todense writes all stored entries; count positions allowed by charge
     coords = nonzero_dense_coords(t.flat_charges, t.flat_flows)
     assert coords.shape[0] == t.data.shape[0]
+
+
+def test_blocksparse_ncon(rng):
+    import tensornetwork_tpu as tn
+    c1 = rand_charge(rng, 4)
+    c2 = rand_charge(rng, 5)
+    c3 = rand_charge(rng, 3)
+    a = randn([Index(c1, False), Index(c2, True)], seed=21)
+    b = randn([Index(c2, False), Index(c3, True)], seed=22)
+    out = tn.ncon([a, b], [(-1, 1), (1, -2)])
+    oracle = np.tensordot(a.todense(), b.todense(), [[1], [0]])
+    np.testing.assert_allclose(out.todense(), oracle, atol=1e-12)
+    # full contraction -> scalar
+    s = tn.ncon([a, a.conj()], [(1, 2), (1, 2)])
+    np.testing.assert_allclose(s, np.sum(a.todense() ** 2), atol=1e-12)
+
+
+def test_jit_decorator_parity(rng):
+    import tensornetwork_tpu as tn
+    import jax.numpy as jnp
+
+    @tn.jit
+    def f(x):
+        return x * 2
+
+    np.testing.assert_allclose(np.asarray(f(jnp.ones(3))), 2 * np.ones(3))
