@@ -1,5 +1,6 @@
 from tensornetwork_tpu.models.mpo import (
-    MPO, FiniteTFI, FiniteXXZ, FiniteFreeFermion2D, mpo_to_dense)
+    MPO, BaseMPO, FiniteMPO, InfiniteMPO, FiniteTFI, FiniteXXZ,
+    FiniteFreeFermion2D, mpo_to_dense)
 from tensornetwork_tpu.models.dmrg import FiniteDMRG
 from tensornetwork_tpu.models.mps import FiniteMPS
 from tensornetwork_tpu.models.infinite_mps import InfiniteMPS

@@ -79,6 +79,22 @@ def _spin_half(dtype=np.float64):
     return Sp, Sm, Sz, I
 
 
+# Reference-compatible aliases (reference ``matrixproductstates/mpo.py:25,77,105``):
+# all MPOs here are uniform stacks; Finite/Infinite differ only in how the
+# solver uses them (InfiniteMPO adds roll()).
+BaseMPO = MPO
+FiniteMPO = MPO
+
+
+class InfiniteMPO(MPO):
+    """Unit-cell MPO (reference ``InfiniteMPO``, ``mpo.py:77``)."""
+
+    def roll(self, num_sites: int) -> "InfiniteMPO":
+        import jax.numpy as jnp
+        return InfiniteMPO(jnp.roll(self.Ws, -num_sites, axis=0), self.vL,
+                           self.vR)
+
+
 def FiniteTFI(
     Jx: Union[float, Sequence[float]],
     Bz: Union[float, Sequence[float]],

@@ -139,3 +139,28 @@ def test_expectation_value_random_state():
     num = np.einsum("aib,ij,ajb->", vec, H, vec)
     den = np.einsum("aib,aib->", vec, vec)
     np.testing.assert_allclose(val, num / den, rtol=1e-10)
+
+
+def test_batched_two_site_sweep():
+    from tensornetwork_tpu.parallel.batch import batched_two_site_sweep
+    N, chi, B = 6, 8, 3
+    mpo = FiniteTFI(Jx=-1.0, Bz=-0.7, N=N)
+    exact = exact_ground_energy(mpo)
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    As = jnp.stack([random_mps_stack(k, N, chi) for k in keys])
+    for _ in range(6):
+        res = batched_two_site_sweep(As, mpo.Ws, mpo.vL, mpo.vR,
+                                     num_krylov_vecs=20)
+        As = res.As
+    np.testing.assert_allclose(np.asarray(res.energy),
+                               np.full(B, exact), rtol=1e-6)
+
+
+def test_mpo_aliases():
+    from tensornetwork_tpu.models import BaseMPO, FiniteMPO, InfiniteMPO
+    mpo = FiniteTFI(Jx=-1.0, Bz=-1.0, N=4)
+    assert isinstance(mpo, BaseMPO)
+    impo = InfiniteMPO(mpo.Ws, mpo.vL, mpo.vR)
+    rolled = impo.roll(1)
+    np.testing.assert_allclose(np.asarray(rolled.Ws[-1]),
+                               np.asarray(mpo.Ws[0]))
