@@ -390,6 +390,18 @@ class BlockSparseTensor:
         flat_perm = [i for g in [self._order[o] for o in order] for i in g]
         new_charges = [self._charges[i] for i in flat_perm]
         new_flows = [self._flows[i] for i in flat_perm]
+        if flat_perm == list(range(len(self._charges))):
+            # identity on the elementary legs: only the grouping changes,
+            # the data layout is untouched (hot path: tensordot calls
+            # transpose twice and in MPS algebra it is usually trivial)
+            new_order = []
+            k = 0
+            for o in order:
+                g = self._order[o]
+                new_order.append(list(range(k, k + len(g))))
+                k += len(g)
+            return BlockSparseTensor(self.data, new_charges, new_flows,
+                                     new_order)
         coords = nonzero_dense_coords(self._charges, self._flows)
         new_coords = coords[:, flat_perm]
         new_dims = [c.dim for c in new_charges]
@@ -425,6 +437,11 @@ class BlockSparseTensor:
                 # a target dim of 1 consumes an elementary dim-1 leg
                 g.append(i)
                 i += 1
+            if not g:
+                raise ValueError(
+                    f"cannot reshape {self.shape} into {tuple(shape)}: "
+                    f"target dim {s} has no elementary legs to absorb "
+                    f"(synthetic singleton legs are not supported)")
             if prod != s:
                 raise ValueError(
                     f"cannot reshape {self.shape} into {tuple(shape)}: "

@@ -135,7 +135,6 @@ def top_density(h_top: jax.Array, u, w, num_iters: int = 20) -> jax.Array:
     power iteration."""
     d = h_top.shape[0]
     rho = jnp.eye(d ** 3, dtype=h_top.dtype).reshape((d,) * 6)
-    rho = jnp.transpose(rho, (0, 1, 2, 3, 4, 5))
     for _ in range(num_iters):
         rho = descend(rho, u, w)
         rho = rho / jnp.einsum("abcabc->", rho)

@@ -51,6 +51,10 @@ class MPO:
         """Reference-style ragged view: boundary vectors absorbed into the
         first/last site tensors (shapes (1,M,d,d) and (M,1,d,d))."""
         Ws = self.Ws
+        if self.num_sites == 1:
+            only = jnp.einsum("w,wvst,v->st", self.vL, Ws[0],
+                              self.vR)[None, None, ...]
+            return [only]
         first = jnp.einsum("w,wvst->vst", self.vL, Ws[0])[None, ...]
         last = jnp.einsum("wvst,v->wst", Ws[-1], self.vR)[:, None, ...]
         mid = [Ws[i] for i in range(1, self.num_sites - 1)]

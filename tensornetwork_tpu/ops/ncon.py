@@ -181,15 +181,18 @@ class ContractionPlan:
         total = 0
         for op in self.steps:
             if op.kind == "trace":
+                # mirror execute_plan: sequential diagonals (axes computed
+                # against the evolving shape), then the trailing diag axes
+                # are summed away
                 shape = list(slots[op.a])
-                for (ax1, ax2) in sorted(op.axes, key=lambda p: -max(p)):
-                    d = shape[ax1]
-                    del shape[max(ax1, ax2)]
-                    del shape[min(ax1, ax2)]
-                    shape.append(d)
-                # diag extraction + sum: ~prod cost
+                for (ax1, ax2) in op.axes:
+                    dd = shape[ax1]
+                    for idx in sorted((ax1, ax2), reverse=True):
+                        del shape[idx]
+                    shape.append(dd)
                 total += int(np.prod(slots[op.a], dtype=np.int64))
-                slots[op.a] = tuple(d for i, d in enumerate(shape))
+                shape = shape[:len(shape) - len(op.axes)]
+                slots[op.a] = tuple(shape)
             elif op.kind == "sum":
                 total += int(np.prod(slots[op.a], dtype=np.int64))
                 slots[op.a] = tuple(
@@ -428,9 +431,6 @@ def ncon(
     invoke the host-side path solvers on the concrete operand shapes.
     """
     structure, mapping = canonicalize_structure(network_structure)
-    inv = {}
-    for k, v in mapping.items():
-        inv[v] = k
     if isinstance(con_order, str):
         from tensornetwork_tpu.ops import paths
         shapes = [tuple(np.shape(t)) for t in tensors]

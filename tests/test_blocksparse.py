@@ -314,3 +314,16 @@ def test_jit_decorator_parity(rng):
         return x * 2
 
     np.testing.assert_allclose(np.asarray(f(jnp.ones(3))), 2 * np.ones(3))
+
+
+def test_reshape_rejects_synthetic_singletons(rng):
+    t, _ = rand_tensor(rng, [4, 2, 4], [False, True, False])
+    with pytest.raises(ValueError):
+        t.reshape([1, 4, 8])
+
+
+def test_transpose_identity_fast_path(rng):
+    t, _ = rand_tensor(rng, [3, 4, 5], [False, True, False])
+    m = t.reshape([12, 5])
+    back = m.transpose([0, 1])  # identity on elementary legs
+    np.testing.assert_allclose(back.data, m.data)

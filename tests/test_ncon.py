@@ -195,3 +195,10 @@ def test_many_tensor_ring(rng):
     oracle = np.trace(np.linalg.multi_dot(tensors))
     out = ncon(tensors, labels)
     np.testing.assert_allclose(out, oracle, rtol=1e-8)
+
+
+def test_plan_flops_with_trace():
+    # trace steps must drop the summed diagonal axes in the cost model
+    plan = compile_plan(((1, 1, 2), (2, -1)))
+    # trace of (5,5,3) ~ 75 ops, then (3,)x(3,4) pair = 2*3*4 = 24
+    assert plan.flops([(5, 5, 3), (3, 4)]) == 75 + 24
