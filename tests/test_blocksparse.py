@@ -327,3 +327,38 @@ def test_transpose_identity_fast_path(rng):
     m = t.reshape([12, 5])
     back = m.transpose([0, 1])  # identity on elementary legs
     np.testing.assert_allclose(back.data, m.data)
+
+
+def test_tensordot_device_matches_numpy(rng):
+    from tensornetwork_tpu.blocksparse.jax_engine import (
+        tensordot_device, clear_plan_cache)
+    clear_plan_cache()
+    cs = [rand_charge(rng, d) for d in (6, 7, 5)]
+    a = randn([Index(cs[0], False), Index(cs[1], True)], seed=31)
+    b = randn([Index(cs[1], False), Index(cs[2], True)], seed=32)
+    out_np = tensordot(a, b, [[1], [0]])
+    out_dev = tensordot_device(a, b, [[1], [0]])
+    np.testing.assert_allclose(out_dev.todense(), out_np.todense(),
+                               atol=1e-10)
+    # scalar path
+    s_np = tensordot(a, a.conj(), [[0, 1], [0, 1]])
+    s_dev = tensordot_device(a, a.conj(), [[0, 1], [0, 1]])
+    np.testing.assert_allclose(float(s_dev), s_np, atol=1e-10)
+    # plan is cached: second call reuses the jitted executor
+    from tensornetwork_tpu.blocksparse.jax_engine import _PLAN_CACHE
+    n_plans = len(_PLAN_CACHE)
+    tensordot_device(a, b, [[1], [0]])
+    assert len(_PLAN_CACHE) == n_plans
+
+
+def test_tensordot_device_with_permutation(rng):
+    from tensornetwork_tpu.blocksparse.jax_engine import tensordot_device
+    cs = [rand_charge(rng, d) for d in (4, 5, 6)]
+    a = randn([Index(cs[0], False), Index(cs[1], False),
+               Index(cs[2], True)], seed=33)
+    b = randn([Index(cs[2], False), Index(cs[0], True),
+               Index(cs[1], True)], seed=34)
+    out_np = tensordot(a, b, [[0, 2], [1, 0]])
+    out_dev = tensordot_device(a, b, [[0, 2], [1, 0]])
+    np.testing.assert_allclose(out_dev.todense(), out_np.todense(),
+                               atol=1e-10)

@@ -134,3 +134,65 @@ def test_blocksparse_tensordot_parity(rng):
     ours = tensordot(oa, ob, [[1], [0]]).todense()
     theirs = ref_bs.tensordot(ra, rb, [[1], [0]]).todense()
     np.testing.assert_allclose(ours, theirs, atol=1e-12)
+
+
+def test_quantum_parity(rng):
+    from tensornetwork.quantum import quantum as ref_q
+    from tensornetwork_tpu.quantum import QuOperator, QuVector
+    a = rng.standard_normal((2, 3, 2, 3))
+    psi = rng.standard_normal((2, 3))
+    ours_op = QuOperator.from_tensor(a, [0, 1], [2, 3])
+    ref_op = ref_q.QuOperator.from_tensor(
+        ref_tn.Node(a, backend="numpy").tensor if False else a,
+        [0, 1], [2, 3])
+    np.testing.assert_allclose(np.asarray(ours_op.trace().eval()),
+                               np.asarray(ref_op.trace().eval()),
+                               rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(ours_op.partial_trace([1]).eval()),
+        np.asarray(ref_op.partial_trace([1]).eval()), rtol=1e-10)
+    ours_v = QuVector.from_tensor(psi)
+    ref_v = ref_q.QuVector.from_tensor(psi)
+    np.testing.assert_allclose(
+        np.asarray((ours_v.adjoint() @ ours_v).eval()),
+        np.asarray((ref_v.adjoint() @ ref_v).eval()), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(ours_v.reduced_density([1]).eval()),
+        np.asarray(ref_v.reduced_density([1]).eval()), rtol=1e-10)
+
+
+def test_from_topology_parity(rng):
+    A = rng.standard_normal((3, 4))
+    B = rng.standard_normal((4, 5))
+    ours = tn.from_topology("ab,bc", [A, B])
+    theirs = ref_tn.from_topology("ab,bc", [A, B], backend="numpy")
+    o = tn.contractors.greedy(ours, output_edge_order=[ours[0][0],
+                                                       ours[1][1]])
+    t = ref_tn.contractors.greedy(theirs,
+                                  output_edge_order=[theirs[0][0],
+                                                     theirs[1][1]])
+    np.testing.assert_allclose(np.asarray(o.tensor),
+                               np.asarray(t.tensor), rtol=1e-10)
+
+
+def test_truncated_svd_semantics_parity(rng):
+    # max_truncation_error tail semantics must match the reference exactly
+    from tensornetwork_tpu.ops.decompositions import svd as our_svd
+    from tensornetwork.backends.numpy.numpy_backend import NumPyBackend
+    backend = NumPyBackend()
+    t = rng.standard_normal((10, 12))
+    for kwargs in ({"max_singular_values": 4},
+                   {"max_truncation_error": 0.5},
+                   {"max_truncation_error": 0.1, "relative": True},
+                   {"max_singular_values": 6,
+                    "max_truncation_error": 0.8}):
+        u1, s1, v1, rest1 = our_svd(t, pivot_axis=1, **kwargs)
+        u2, s2, v2, rest2 = backend.svd(t, pivot_axis=1,
+                                        **{k.replace("error", "error"): v
+                                           for k, v in kwargs.items()})
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-10, err_msg=str(kwargs))
+        np.testing.assert_allclose(
+            np.sort(np.abs(np.asarray(rest1))),
+            np.sort(np.abs(np.asarray(rest2))), rtol=1e-10,
+            err_msg=str(kwargs))
