@@ -24,7 +24,7 @@ from tensornetwork_tpu.core.operations import (
     copy, replicate_nodes, remove_node, reachable, check_correct,
     check_connected, get_subgraph_dangling, redirect_edge,
     split_node, split_node_qr, split_node_rq, split_node_full_svd,
-    reduced_density, nodes_to_json, nodes_from_json)
+    reduced_density, nodes_to_json, nodes_from_json, switch_backend)
 
 from tensornetwork_tpu import contractors
 

@@ -131,6 +131,16 @@ def get_subgraph_dangling(nodes: Sequence[AbstractNode]) -> Set[Edge]:
     return out
 
 
+def switch_backend(nodes, new_backend: str = "jax") -> None:
+    """Reference-compatible shim (reference
+    ``network_operations.py:794``): the reference re-wraps node tensors in
+    another backend; here XLA is the only execution layer, so tensors are
+    normalized to jax arrays in place."""
+    import jax.numpy as jnp
+    for node in nodes:
+        node.tensor = jnp.asarray(node.tensor)
+
+
 def redirect_edge(edge: Edge, new_node: AbstractNode,
                   old_node: AbstractNode) -> None:
     """Move one endpoint of an edge to another node with matching dimension

@@ -265,6 +265,54 @@ class FiniteMPS:
         E, _ = jax.lax.scan(body, E, (self.As, other.As))
         return jnp.trace(E)
 
+    # -- environments / transfer (reference ``base_mps.py:128-286``,
+    # ``finite_mps.py:168-315``) -------------------------------------------
+
+    def left_envs(self, sites: Sequence[int]):
+        """Left norm environments for the given sites (reference
+        ``FiniteMPS.left_envs``)."""
+        envs = _left_norm_envs(self.As)
+        return {int(s): envs[int(s)] for s in sites}
+
+    def right_envs(self, sites: Sequence[int]):
+        envs = _right_norm_envs(self.As)
+        return {int(s): envs[int(s)] for s in sites}
+
+    def apply_transfer_operator(self, site: int, direction,
+                                matrix: Array) -> Array:
+        """One-site transfer-operator application (reference
+        ``BaseMPS.apply_transfer_operator``, ``base_mps.py:264``).
+        ``direction`` in (1, 'l', 'left') propagates rightward."""
+        A = self.As[site]
+        if direction in (1, "l", "left"):
+            return _norm_update_left(matrix, A)
+        if direction in (-1, "r", "right"):
+            return _norm_update_right(matrix, A)
+        raise ValueError(f"unknown direction {direction!r}")
+
+    # -- persistence (the reference declares BaseMPS.save but never
+    # implements it, ``base_mps.py:235-236``) ------------------------------
+
+    def save(self, path: str) -> None:
+        """Checkpoint the full MPS state (orbax pytree)."""
+        from tensornetwork_tpu.utils.checkpoint import save_pytree
+        import numpy as _np
+        save_pytree(path, {
+            "As": _np.asarray(jax.device_get(self.As)),
+            "center_position": _np.asarray(
+                -1 if self.center_position is None
+                else self.center_position),
+        })
+
+    @classmethod
+    def load(cls, path: str) -> "FiniteMPS":
+        from tensornetwork_tpu.utils.checkpoint import load_pytree
+        state = load_pytree(path)
+        center = int(state["center_position"])
+        return cls(jnp.asarray(state["As"]),
+                   center_position=None if center < 0 else center,
+                   canonicalize=False)
+
     # -- measurements -----------------------------------------------------
 
     def measure_local_operator(self, ops, sites) -> List[Array]:

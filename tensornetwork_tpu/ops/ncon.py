@@ -422,6 +422,7 @@ def ncon(
     con_order: Optional[Sequence[Label]] = None,
     out_order: Optional[Sequence[Label]] = None,
     check_network: bool = True,
+    backend: Optional[str] = None,
     jit: bool = True,
 ):
     """Contract a tensor network given in ncon label notation.
@@ -429,6 +430,8 @@ def ncon(
     Reference-compatible entry point (reference ``ncon_interface.py:523``).
     ``con_order`` may also be the string ``"greedy"`` or ``"optimal"`` to
     invoke the host-side path solvers on the concrete operand shapes.
+    ``backend`` is accepted for signature parity and ignored (XLA is the
+    execution layer; block-sparse operands are dispatched automatically).
     """
     structure, mapping = canonicalize_structure(network_structure)
     if isinstance(con_order, str):

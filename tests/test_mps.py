@@ -178,3 +178,38 @@ def test_bond_dimensions_properties():
     assert mps.bond_dimensions == [8] * 6
     assert mps.physical_dimensions == [2] * 5
     assert len(mps) == 5
+
+
+def test_envs_and_transfer_operator():
+    mps = FiniteMPS.random(6, 5, seed=10)
+    lenvs = mps.left_envs([0, 3])
+    renvs = mps.right_envs([2, 5])
+    np.testing.assert_allclose(np.asarray(lenvs[0]), np.eye(5), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(renvs[5]), np.eye(5), atol=1e-12)
+    # transfer operator consistency: folding site 0 into the identity env
+    out = mps.apply_transfer_operator(0, "left", jnp.eye(5,
+                                                         dtype=mps.dtype))
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(mps.left_envs([1])[1]),
+                               atol=1e-12)
+
+
+def test_mps_save_load(tmp_path):
+    import os
+    mps = FiniteMPS.random(5, 4, seed=11)
+    mps.position(2)
+    path = os.path.join(tmp_path, "mps_ckpt")
+    mps.save(path)
+    loaded = FiniteMPS.load(path)
+    np.testing.assert_allclose(np.asarray(loaded.As), np.asarray(mps.As))
+    assert loaded.center_position == 2
+
+
+def test_switch_backend_and_ncon_backend_kwarg(rng):
+    import tensornetwork_tpu as tn
+    a = tn.Node(rng.standard_normal((3, 3)))
+    tn.switch_backend([a])
+    out = tn.ncon([rng.standard_normal((2, 3)),
+                   rng.standard_normal((3, 2))],
+                  [(-1, 1), (1, -2)], backend="jax")
+    assert np.asarray(out).shape == (2, 2)
