@@ -59,3 +59,20 @@ def test_wavefunctions_example_small():
     ns = _load("examples/wavefunctions.py")
     fid = ns["main"](N=6, dt=0.02, steps=10)
     assert fid > 0.999
+
+
+def test_image_classifier_learns_and_checkpoints(tmp_path):
+    import os
+    ns = _load("examples/image_classifier.py")
+    acc, params = ns["main"](steps=300, batch=128)
+    assert acc > 0.22  # 10-class chance is 0.1
+    # params round-trip through the generic checkpoint
+    from tensornetwork_tpu.utils.checkpoint import save_pytree, load_pytree
+    import jax
+    import numpy as np
+    path = os.path.join(tmp_path, "clf")
+    save_pytree(path, jax.device_get(params))
+    restored = load_pytree(path)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
