@@ -207,18 +207,27 @@ def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
 def two_site_sweep(
     As: Array, Ws: Array, vL: Array, vR: Array,
     num_krylov_vecs: int = 10,
+    boundary_envs: Optional[Tuple[Array, Array]] = None,
 ) -> SweepResult:
     """One full two-site DMRG sweep (reference ``run_two_site``,
     ``dmrg.py:445``).  Bond truncation back to the static ``chi`` uses the
-    masked SVD; the squared truncated weight is accumulated."""
+    masked SVD; the squared truncated weight is accumulated.
+    ``boundary_envs`` as in :func:`one_site_sweep`."""
     with jax.default_matmul_precision("highest"):
-        return _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs)
+        return _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
+                                    boundary_envs)
 
 
-def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs):
+def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
+                         boundary_envs=None):
     N, chi, d, _ = As.shape
-    As, Renvs = right_canonicalize_and_envs(As, Ws, vL, vR)
-    L0 = _boundary_left(chi, vL)
+    As, Renvs = right_canonicalize_and_envs(
+        As, Ws, vL, vR,
+        R0=None if boundary_envs is None else boundary_envs[1])
+    if boundary_envs is None:
+        L0 = _boundary_left(chi, vL)
+    else:
+        L0 = boundary_envs[0]
     real_dtype = jnp.zeros((), As.dtype).real.dtype
 
     # ---- left-to-right over bonds (0..N-2) ----
@@ -248,7 +257,10 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs):
     # left envs emitted at bond i correspond to site i; for the R->L pass we
     # need Lenvs[i] for bonds (i, i+1), i = N-2..0 — exactly Lenvs.
 
-    R0 = _boundary_right(chi, vR)
+    if boundary_envs is None:
+        R0 = _boundary_right(chi, vR)
+    else:
+        R0 = boundary_envs[1]
 
     def body_rl(carry, inputs):
         Renv, pending, terr = carry

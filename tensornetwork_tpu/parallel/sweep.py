@@ -112,7 +112,8 @@ def make_distributed_sweep(mesh: Mesh, num_devices: int,
                            num_krylov_vecs: int = 10,
                            inner_sweeps: int = 1,
                            axis_name: str = "sp",
-                           num_colors: int = 2):
+                           num_colors: int = 2,
+                           two_site: bool = False):
     """Build the jitted red/black distributed sweep for a given mesh."""
     try:
         from jax import shard_map
@@ -151,14 +152,14 @@ def make_distributed_sweep(mesh: Mesh, num_devices: int,
         Lg = jnp.einsum("xa,awc,yc->xwy", a_inv, L, jnp.conj(a_inv))
         Rg = jnp.einsum("xb,bwd,yd->xwy", b_inv, R, jnp.conj(b_inv))
 
-        res = _dmrg._one_site_sweep_impl(As_g, Ws, vL, vR,
-                                         num_krylov_vecs,
-                                         boundary_envs=(Lg, Rg))
+        sweep_impl = (_dmrg._two_site_sweep_impl if two_site
+                      else _dmrg._one_site_sweep_impl)
+        res = sweep_impl(As_g, Ws, vL, vR, num_krylov_vecs,
+                         boundary_envs=(Lg, Rg))
         As_new = res.As
         for _ in range(inner_sweeps - 1):
-            res = _dmrg._one_site_sweep_impl(As_new, Ws, vL, vR,
-                                             num_krylov_vecs,
-                                             boundary_envs=(Lg, Rg))
+            res = sweep_impl(As_new, Ws, vL, vR, num_krylov_vecs,
+                             boundary_envs=(Lg, Rg))
             As_new = res.As
         # back to the global frame
         As_new = As_new.at[0].set(
@@ -200,7 +201,8 @@ class DistributedDMRG:
 
     def __init__(self, As: Array, mpo, mesh: Mesh, axis_name: str = "sp",
                  num_krylov_vecs: int = 10, inner_sweeps: int = 1,
-                 num_colors: Optional[int] = None):
+                 num_colors: Optional[int] = None,
+                 two_site: bool = False):
         """``num_colors``: blocks of the same color update concurrently.
         ``num_colors == num_devices`` is an exact sequential (Gauss-Seidel)
         wave — full DMRG quality, one active block at a time;
@@ -225,7 +227,7 @@ class DistributedDMRG:
             num_colors = num_devices
         self._step = make_distributed_sweep(
             mesh, num_devices, num_krylov_vecs, inner_sweeps, axis_name,
-            num_colors)
+            num_colors, two_site)
         self.energies = []
 
     def run(self, num_iterations: int = 10, tol: float = 1e-10) -> float:

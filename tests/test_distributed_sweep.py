@@ -64,3 +64,16 @@ def test_chain_length_validation():
     if mesh.shape["sp"] > 1 and 9 % mesh.shape["sp"] != 0:
         with pytest.raises(ValueError):
             DistributedDMRG(As, mpo, mesh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_distributed_two_site():
+    N, chi, P = 12, 12, 4
+    mesh = make_mesh((P,), ("sp",), devices=jax.devices()[:P])
+    mpo = FiniteTFI(Jx=-1.0, Bz=-0.8, N=N)
+    exact = float(np.linalg.eigvalsh(np.asarray(mpo_to_dense(mpo)))[0])
+    As = random_mps_stack(jax.random.PRNGKey(2), N, chi)
+    dmrg = DistributedDMRG(As, mpo, mesh, num_krylov_vecs=20,
+                           inner_sweeps=1, two_site=True)
+    dmrg.run(num_iterations=8, tol=0)
+    np.testing.assert_allclose(dmrg.energy(), exact, rtol=1e-6)
