@@ -76,3 +76,9 @@ def test_image_classifier_learns_and_checkpoints(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_path_solvers_example():
+    ns = _load("examples/path_solvers.py")
+    cost = ns["main"]()
+    assert cost > 0
