@@ -151,6 +151,61 @@ class InfiniteMPS:
         return num / den
 
 
+def _imps_correlator(self, op1, op2, site1: int, sites2):
+    """<op1_{site1} op2_j> in the thermodynamic limit (reference
+    ``measure_two_body_correlator`` surface, ``base_mps.py:322``; here
+    computed with the dominant transfer environments).  ``sites2`` are
+    absolute site indices >= site1; sites beyond the unit cell use
+    repeated transfer application."""
+    _, vl = self.transfer_matrix_eigs("left", 1)
+    _, vr = self.transfer_matrix_eigs("right", 1)
+    eta_arr, _ = self.transfer_matrix_eigs("right", 1)
+    l = _hermitize_psd(vl[0], self.As.dtype)
+    r = _hermitize_psd(vr[0], self.As.dtype)
+    op1 = jnp.asarray(op1, self.As.dtype)
+    op2 = jnp.asarray(op2, self.As.dtype)
+    N = self.num_sites
+    eta = jnp.real(jnp.asarray(eta_arr[0]))
+
+    def site_tensor(j):
+        return self.As[j % N]
+
+    # left env up to site1, then insert op1
+    m = l
+    for k in range(site1):
+        A = site_tensor(k)
+        m = jnp.einsum("ab,asc,bsd->cd", m, A, jnp.conj(A),
+                       optimize="auto")
+    A1 = site_tensor(site1)
+    E = jnp.einsum("ab,asc,st,btd->cd", m, A1, op1, jnp.conj(A1),
+                   optimize="auto")
+    # normalization envs advanced in lockstep
+    n_env = jnp.einsum("ab,asc,bsd->cd", m, A1, jnp.conj(A1),
+                       optimize="auto")
+    results = {}
+    pos = site1 + 1
+    max_site = max(sites2)
+    while pos <= max_site:
+        A = site_tensor(pos)
+        if pos in sites2:
+            # close with op2 here and the right fixed point
+            r_here = r
+            num = jnp.einsum("ab,asc,st,btd,cd->", E, A, op2,
+                             jnp.conj(A), r_here, optimize="auto")
+            den = jnp.einsum("ab,asc,bsd,cd->", n_env, A, jnp.conj(A),
+                             r_here, optimize="auto")
+            results[pos] = num / den
+        E = jnp.einsum("ab,asc,bsd->cd", E, A, jnp.conj(A),
+                       optimize="auto")
+        n_env = jnp.einsum("ab,asc,bsd->cd", n_env, A, jnp.conj(A),
+                           optimize="auto")
+        pos += 1
+    return [results[j] for j in sites2]
+
+
+InfiniteMPS.measure_two_body_correlator = _imps_correlator
+
+
 def _hermitize_psd(m: Array, dtype=None) -> Array:
     m = 0.5 * (m + jnp.conj(m.T))
     tr = jnp.trace(m)

@@ -161,3 +161,29 @@ def test_imps_transfer_eigs_against_dense():
     dense = np.linalg.eigvals(T)
     dom = dense[np.argmax(np.abs(dense))]
     np.testing.assert_allclose(abs(evals[0]), abs(dom), rtol=1e-8)
+
+
+def test_imps_correlator_product_state():
+    # product |up> state: <Z_0 Z_r> = 1 for all r, and <Z X> = 0
+    chi, d = 3, 2
+    A = np.zeros((1, chi, d, chi))
+    A[0, 0, 0, 0] = 1.0
+    imps = InfiniteMPS(jnp.asarray(A))
+    Z = np.diag([1.0, -1.0])
+    X = np.array([[0.0, 1.0], [1.0, 0.0]])
+    vals = imps.measure_two_body_correlator(Z, Z, 0, [1, 3, 5])
+    np.testing.assert_allclose(np.real(np.asarray(vals)), 1.0, atol=1e-8)
+    vals2 = imps.measure_two_body_correlator(Z, X, 0, [2])
+    np.testing.assert_allclose(np.real(np.asarray(vals2)), 0.0, atol=1e-8)
+
+
+def test_imps_correlator_decays_for_random_state():
+    imps = InfiniteMPS.random(1, 6, seed=5)
+    imps.canonicalize()
+    Z = np.diag([1.0, -1.0])
+    vals = imps.measure_two_body_correlator(Z, Z, 0, [1, 4, 8])
+    vals = np.abs(np.asarray(vals))
+    # generic states have exponentially decaying connected correlations;
+    # the raw correlator tends to <Z>^2
+    z = float(np.real(imps.measure_local_operator(Z)))
+    assert abs(vals[-1] - z * z) < abs(vals[0] - z * z) + 1e-6
