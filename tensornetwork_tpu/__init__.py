@@ -6,7 +6,9 @@ graph API, contraction-path solvers, truncated decompositions, MPS/DMRG/
 MERA/TEBD solvers, U(1)/Z_N block-sparse symmetric tensors, quantum
 operator algebra, tensor-network NN layers, and multi-chip sharding.
 """
-from tensornetwork_tpu.config import Config, config_context, get_config
+from tensornetwork_tpu.config import (
+    Config, config_context, get_config, set_default_backend,
+    get_default_backend, DefaultBackend)
 from tensornetwork_tpu.ops.ncon import ncon, finalize
 from tensornetwork_tpu.ops.decompositions import (
     svd, qr, rq, eigh, svd_masked, MaskedSVD)

@@ -69,3 +69,45 @@ def bucket_dim(dim: int, config: Optional[Config] = None) -> int:
         if dim <= b:
             return b
     return dim
+
+
+# -- reference-compatible default-backend shims ------------------------------
+# (reference ``backend_contextmanager.py:22-49``; XLA is the only execution
+# layer here, so these only validate and record the name)
+
+_DEFAULT_BACKEND = "jax"
+_KNOWN_BACKENDS = ("jax", "numpy", "tensorflow", "pytorch", "symmetric")
+
+
+def set_default_backend(backend: str) -> None:
+    global _DEFAULT_BACKEND
+    if backend not in _KNOWN_BACKENDS:
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend != "jax":
+        import warnings
+        warnings.warn(
+            f"backend {backend!r} is accepted for API parity only; "
+            f"execution always goes through JAX/XLA")
+    _DEFAULT_BACKEND = backend
+
+
+def get_default_backend() -> str:
+    return _DEFAULT_BACKEND
+
+
+class DefaultBackend:
+    """Context manager (reference ``DefaultBackend``)."""
+
+    def __init__(self, backend: str):
+        self.backend = backend
+        self._prev = None
+
+    def __enter__(self):
+        global _DEFAULT_BACKEND
+        self._prev = _DEFAULT_BACKEND
+        set_default_backend(self.backend)
+        return self
+
+    def __exit__(self, *a):
+        global _DEFAULT_BACKEND
+        _DEFAULT_BACKEND = self._prev

@@ -433,6 +433,9 @@ def ncon(
     ``backend`` is accepted for signature parity and ignored (XLA is the
     execution layer; block-sparse operands are dispatched automatically).
     """
+    tensors = [t.tensor if hasattr(t, "tensor") and hasattr(t, "edges")
+               else (t.array if hasattr(t, "array") else t)
+               for t in tensors]
     structure, mapping = canonicalize_structure(network_structure)
     if isinstance(con_order, str):
         from tensornetwork_tpu.ops import paths

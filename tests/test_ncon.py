@@ -202,3 +202,25 @@ def test_plan_flops_with_trace():
     plan = compile_plan(((1, 1, 2), (2, -1)))
     # trace of (5,5,3) ~ 75 ops, then (3,)x(3,4) pair = 2*3*4 = 24
     assert plan.flops([(5, 5, 3), (3, 4)]) == 75 + 24
+
+
+def test_ncon_accepts_nodes_and_tensors(rng):
+    import tensornetwork_tpu as tn
+    a = rng.standard_normal((3, 4))
+    b = rng.standard_normal((4, 5))
+    out = ncon([tn.Node(a), tn.Tensor(b)], [(-1, 1), (1, -2)])
+    np.testing.assert_allclose(np.asarray(out), a @ b, rtol=1e-10)
+
+
+def test_default_backend_shims():
+    import tensornetwork_tpu as tn
+    assert tn.get_default_backend() == "jax"
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with tn.DefaultBackend("numpy"):
+            assert tn.get_default_backend() == "numpy"
+    assert tn.get_default_backend() == "jax"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        tn.set_default_backend("nonsense")
