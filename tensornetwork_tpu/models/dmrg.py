@@ -74,17 +74,55 @@ def _boundary_right(chi: int, vR: Array) -> Array:
     return jnp.einsum("bd,v->bvd", jnp.eye(chi, dtype=vR.dtype), vR)
 
 
-def _qr_shift_right(A: Array) -> Tuple[Array, Array]:
+def _cholqr2(m: Array) -> Tuple[Array, Array]:
+    """Cholesky-QR2: Q with orthonormal columns, R upper triangular.
+    Two passes restore f32 orthogonality (condition-squared of one pass);
+    on TPU the Gram matmuls ride the MXU while Householder QR serializes."""
+    n = m.shape[-1]
+    eye = jnp.eye(n, dtype=m.dtype)
+    G = jnp.conj(m.swapaxes(-1, -2)) @ m
+    # relative jitter keeps Cholesky finite on rank-deficient panels; the
+    # spurious directions are gauge-null (same as Householder's arbitrary
+    # orthogonal completion) and the second pass restores orthogonality
+    jit1 = (jnp.trace(G, axis1=-2, axis2=-1) / n)[..., None, None]
+    G = G + 1e-6 * jit1 * eye
+    L = jnp.linalg.cholesky(G)
+    q1 = jax.lax.linalg.triangular_solve(
+        L, m.swapaxes(-1, -2), left_side=True, lower=True).swapaxes(-1, -2)
+    G2 = jnp.conj(q1.swapaxes(-1, -2)) @ q1
+    jit2 = (jnp.trace(G2, axis1=-2, axis2=-1) / n)[..., None, None]
+    G2 = G2 + 1e-12 * jit2 * eye
+    L2 = jnp.linalg.cholesky(G2)
+    q2 = jax.lax.linalg.triangular_solve(
+        L2, q1.swapaxes(-1, -2), left_side=True, lower=True
+    ).swapaxes(-1, -2)
+    r = L2.swapaxes(-1, -2) @ L.swapaxes(-1, -2)
+    return q2, r
+
+
+QR_IMPL = "householder"  # "householder" | "cholesky" (module-level default
+# read at trace time; flip before building sweeps, or pass use_cholesky_qr)
+
+
+def _qr(m: Array, use_cholesky: bool = False) -> Tuple[Array, Array]:
+    if use_cholesky or QR_IMPL == "cholesky":
+        return _cholqr2(m)
+    return jnp.linalg.qr(m)
+
+
+def _qr_shift_right(A: Array, use_cholesky: bool = False
+                    ) -> Tuple[Array, Array]:
     """Left-canonicalize: A = Q·Rm with Q†Q = I on the right bond."""
     chi_l, d, chi_r = A.shape
-    q, rm = jnp.linalg.qr(A.reshape(chi_l * d, chi_r))
+    q, rm = _qr(A.reshape(chi_l * d, chi_r), use_cholesky)
     return q.reshape(chi_l, d, chi_r), rm
 
 
-def _rq_shift_left(A: Array) -> Tuple[Array, Array]:
+def _rq_shift_left(A: Array, use_cholesky: bool = False
+                   ) -> Tuple[Array, Array]:
     """Right-canonicalize: A = Lm·Q with Q·Q† = I on the left bond."""
     chi_l, d, chi_r = A.shape
-    qt, rt = jnp.linalg.qr(A.reshape(chi_l, d * chi_r).T)
+    qt, rt = _qr(A.reshape(chi_l, d * chi_r).T, use_cholesky)
     return rt.T, qt.T.reshape(chi_l, d, chi_r)
 
 
