@@ -101,13 +101,21 @@ def pivot(t, pivot_axis: int = -1) -> Tensor:
 
 
 def kron(a, b) -> Tensor:
-    """Tensor kron with interleaved axes (reference
-    ``linalg/node_linalg.py:331``): for matrices equals ``np.kron``
-    reshaped to rank 4."""
+    """Tensor Kronecker product (reference ``linalg/node_linalg.py:331``):
+    for even-rank operands (k row axes then k column axes) the result has
+    rows (a_rows, b_rows) and columns (a_cols, b_cols), so matricizing
+    reproduces ``np.kron``."""
     A, B = _unwrap(a), _unwrap(b)
     if A.ndim % 2 != 0 or B.ndim % 2 != 0:
         raise ValueError("kron requires even-rank tensors")
-    return Tensor(jnp.tensordot(A, B, 0))
+    ka, kb = A.ndim // 2, B.ndim // 2
+    out = jnp.tensordot(A, B, 0)
+    # axes: (a_rows, a_cols, b_rows, b_cols) -> (a_rows, b_rows,
+    #        a_cols, b_cols)
+    perm = (list(range(ka)) + list(range(2 * ka, 2 * ka + kb))
+            + list(range(ka, 2 * ka))
+            + list(range(2 * ka + kb, 2 * (ka + kb))))
+    return Tensor(jnp.transpose(out, perm))
 
 
 def norm(t) -> jax.Array:

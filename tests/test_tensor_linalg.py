@@ -121,3 +121,12 @@ def test_tensor_is_pytree(rng):
     doubled = jax.jit(lambda x: Tensor(x.array * 2))(t)
     np.testing.assert_allclose(np.asarray(doubled.array),
                                2 * np.asarray(t.array))
+
+
+def test_kron_matches_np_kron(rng):
+    A = rng.standard_normal((2, 3))
+    B = rng.standard_normal((4, 5))
+    out = la.kron(Tensor(A), Tensor(B))
+    assert out.shape == (2, 4, 3, 5)
+    np.testing.assert_allclose(np.asarray(out.array).reshape(8, 15),
+                               np.kron(A, B), rtol=1e-10)
