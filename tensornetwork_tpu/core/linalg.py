@@ -34,7 +34,11 @@ def tensordot(a, b, axes) -> Tensor:
     return Tensor(jnp.tensordot(_unwrap(a), _unwrap(b), axes=axes))
 
 
-def einsum(expr: str, *tensors, optimize: bool = True) -> Tensor:
+def einsum(expr: str, *tensors, optimize="auto") -> Tensor:
+    # "auto" (never True/'optimal'): exhaustive path search hangs for
+    # >10 operands (see CLAUDE.md)
+    if optimize is True:
+        optimize = "auto"
     return Tensor(jnp.einsum(expr, *[_unwrap(t) for t in tensors],
                              optimize=optimize))
 
@@ -175,8 +179,13 @@ def ones(shape, dtype=jnp.float64) -> Tensor:
     return Tensor(jnp.ones(shape, dtype))
 
 
+def _fresh_seed() -> int:
+    # reference draws a fresh random seed when none is given
+    return int(np.random.SeedSequence().entropy % (2 ** 31))
+
+
 def randn(shape, dtype=jnp.float64, seed: Optional[int] = None) -> Tensor:
-    key = jax.random.PRNGKey(0 if seed is None else seed)
+    key = jax.random.PRNGKey(_fresh_seed() if seed is None else seed)
     if jnp.issubdtype(dtype, jnp.complexfloating):
         k1, k2 = jax.random.split(key)
         real_dt = jnp.zeros((), dtype).real.dtype
@@ -188,7 +197,7 @@ def randn(shape, dtype=jnp.float64, seed: Optional[int] = None) -> Tensor:
 
 def random_uniform(shape, dtype=jnp.float64, seed: Optional[int] = None,
                    boundaries: Tuple[float, float] = (0.0, 1.0)) -> Tensor:
-    key = jax.random.PRNGKey(0 if seed is None else seed)
+    key = jax.random.PRNGKey(_fresh_seed() if seed is None else seed)
     lo, hi = boundaries
     if jnp.issubdtype(dtype, jnp.complexfloating):
         k1, k2 = jax.random.split(key)
@@ -215,8 +224,15 @@ def _tensor_matvec(A: Callable, args: Optional[List] = None):
 def eigsh_lanczos(A: Callable, args=None, initial_state: Tensor = None,
                   shape=None, dtype=None, num_krylov_vecs: int = 20,
                   numeig: int = 1, tol: float = 1e-8, delta: float = 1e-8,
-                  ndiag: int = 10, reorthogonalize: bool = True):
-    """(reference ``linalg/krylov.py:113``)"""
+                  ndiag: int = 10, reorthogonalize: bool = True,
+                  num_restarts: int = 1):
+    """(reference ``linalg/krylov.py:113``.)
+
+    Note: the compiled solver runs a *static* number of iterations
+    (``num_krylov_vecs``, optionally repeated ``num_restarts`` times with
+    the best Ritz vector as the new start); ``tol``/``ndiag`` are accepted
+    for signature parity but convergence is governed by those two knobs.
+    """
     if initial_state is None:
         if shape is None or dtype is None:
             raise ValueError("provide initial_state or (shape, dtype)")
@@ -224,7 +240,8 @@ def eigsh_lanczos(A: Callable, args=None, initial_state: Tensor = None,
     evals, evecs = _krylov.eigsh_lanczos(
         _tensor_matvec(A, args), _unwrap(initial_state),
         num_krylov_vecs=num_krylov_vecs, numeig=numeig,
-        reorthogonalize=reorthogonalize, delta=delta)
+        reorthogonalize=reorthogonalize, delta=delta,
+        num_restarts=num_restarts)
     return [evals[k] for k in range(numeig)], \
         [Tensor(evecs[k]) for k in range(numeig)]
 

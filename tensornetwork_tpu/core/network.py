@@ -165,6 +165,12 @@ class AbstractNode:
                 len(edge_order) != len(self.edges):
             raise ValueError("edge_order must be a permutation of the "
                              "node's edges")
+        if any(e.is_trace() for e in edge_order):
+            # a trace edge occupies two axes; its position is ambiguous
+            # (reference raises the same way, network_components.py:202-217)
+            raise ValueError(
+                "reorder_edges does not support nodes with trace edges; "
+                "contract the trace first")
         perm = [self.edges.index(e) for e in edge_order]
         self.tensor = jnp.transpose(self.tensor, perm)
         for new_axis, e in enumerate(edge_order):
@@ -314,6 +320,16 @@ class CopyNode(AbstractNode):
     def tensor(self, t: Tensor):
         self._tensor = jnp.asarray(t)
 
+    def copy(self, conjugate: bool = False) -> "CopyNode":
+        """Preserve CopyNode-ness (and laziness): the delta tensor is real,
+        so conjugation is a no-op (reference ``CopyNode.copy``,
+        ``network_components.py:800``)."""
+        new = CopyNode(rank=self.rank, dimension=self.dimension,
+                       name=self.name, axis_names=self._axis_names,
+                       dtype=self.copy_dtype)
+        new._tensor = self._tensor
+        return new
+
     @staticmethod
     def make_copy_tensor(rank: int, dimension: int, dtype) -> Tensor:
         """delta_{i i ... i} (reference ``network_components.py:842``)."""
@@ -357,7 +373,7 @@ class CopyNode(AbstractNode):
             operands.append(node.tensor)
         out = "".join(axis_letters.values())
         expr = ",".join(operand_strs) + "->" + out
-        return jnp.einsum(expr, *operands)
+        return jnp.einsum(expr, *operands, optimize="auto")
 
 
 class Edge:

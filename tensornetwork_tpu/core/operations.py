@@ -332,10 +332,17 @@ def nodes_to_json(nodes: Sequence[AbstractNode],
             if id(e) in seen:
                 continue
             seen.add(id(e))
-            d = {"name": e.name,
-                 "node1": index[e.node1], "axis1": e.axis1,
-                 "node2": index[e.node2] if e.node2 in index else None,
-                 "axis2": e.axis2 if e.node2 in index else None}
+            # record from the perspective of whichever endpoint is inside
+            # the serialized set; a cross-boundary edge becomes dangling
+            if e.node1 in index:
+                n1_idx, a1 = index[e.node1], e.axis1
+                n2_in = e.node2 in index if e.node2 is not None else False
+                d = {"name": e.name, "node1": n1_idx, "axis1": a1,
+                     "node2": index[e.node2] if n2_in else None,
+                     "axis2": e.axis2 if n2_in else None}
+            else:
+                d = {"name": e.name, "node1": index[e.node2],
+                     "axis1": e.axis2, "node2": None, "axis2": None}
             edges.append(d)
     bindings = {}
     if edge_binding:

@@ -72,12 +72,23 @@ def eliminate_identities(nodes: Collection[AbstractNode]
             old_edges = [n[0], n[1]]
             _, new_edges = _remove_copy(n)
             if new_edges:
+                # one side was dangling: both of the copy node's edges
+                # collapse onto the single new dangling edge
                 dangling_edges_dict[old_edges[0]] = new_edges[0]
-                if len(new_edges) > 1:
-                    dangling_edges_dict[old_edges[1]] = new_edges[1]
+                dangling_edges_dict[old_edges[1]] = new_edges[0]
         else:
             nodes_dict[n] = n
-    return nodes_dict, dangling_edges_dict
+    # chained identities map edges transitively (edge -> intermediate
+    # dangling edge -> final edge); resolve to the fixpoint
+    resolved = {}
+    for k in dangling_edges_dict:
+        v = dangling_edges_dict[k]
+        seen = {id(k)}
+        while id(v) not in seen and v in dangling_edges_dict:
+            seen.add(id(v))
+            v = dangling_edges_dict[v]
+        resolved[k] = v
+    return nodes_dict, resolved
 
 
 def _remove_copy(n: CopyNode):

@@ -49,11 +49,17 @@ def save_nodes(nodes: Sequence[AbstractNode], path) -> None:
                 eg = edges_group.create_group(str(k))
                 k += 1
                 eg.attrs["name"] = e.name
-                eg.attrs["node1"] = index[e.node1]
-                eg.attrs["axis1"] = e.axis1
-                if e.node2 is not None and e.node2 in index:
-                    eg.attrs["node2"] = index[e.node2]
-                    eg.attrs["axis2"] = e.axis2
+                if e.node1 in index:
+                    eg.attrs["node1"] = index[e.node1]
+                    eg.attrs["axis1"] = e.axis1
+                    if e.node2 is not None and e.node2 in index:
+                        eg.attrs["node2"] = index[e.node2]
+                        eg.attrs["axis2"] = e.axis2
+                else:
+                    # cross-boundary edge: store as dangling on the inside
+                    # endpoint
+                    eg.attrs["node1"] = index[e.node2]
+                    eg.attrs["axis1"] = e.axis2
 
 
 def load_nodes(path) -> List[AbstractNode]:

@@ -267,3 +267,38 @@ def test_reduced_density(rng):
     rho = np.asarray(rho_net.tensor).reshape(4, 4)
     oracle = np.einsum("abk,cdk->abcd", psi, psi).reshape(4, 4)
     np.testing.assert_allclose(rho, oracle, atol=1e-10)
+
+
+def test_copy_node_copy_preserves_type():
+    cn = tn.CopyNode(rank=3, dimension=2, name="c")
+    c2 = cn.copy()
+    assert isinstance(c2, tn.CopyNode)
+    assert c2._tensor is None  # still lazy
+
+
+def test_reorder_edges_trace_raises(rng):
+    a = tn.Node(rng.standard_normal((2, 3, 2)))
+    a[0] ^ a[2]
+    with pytest.raises(ValueError):
+        a.reorder_edges([a[1], a[0], a[2]])
+
+
+def test_json_boundary_edge_either_orientation(rng):
+    inside = tn.Node(rng.standard_normal((3,)), name="in")
+    outside = tn.Node(rng.standard_normal((3,)), name="out")
+    # edge created with the OUTSIDE node as node1
+    tn.connect(outside[0], inside[0])
+    s = tn.nodes_to_json([inside])
+    nodes, _ = tn.nodes_from_json(s)
+    assert nodes[0].edges[0].is_dangling()
+
+
+def test_quantum_identity_elimination_after_composition(rng):
+    # CopyNode type now survives copying, so identities are eliminated
+    from tensornetwork_tpu.quantum import identity, QuOperator
+    a = rng.standard_normal((2, 2))
+    op = QuOperator.from_tensor(a, [0], [1])
+    composed = op @ identity([2]) @ identity([2])
+    np.testing.assert_allclose(np.asarray(composed.eval()), a, rtol=1e-10)
+    # after contract(), the rank-2 copy nodes were spliced out
+    assert not any(isinstance(n, tn.CopyNode) for n in composed.nodes)

@@ -130,3 +130,9 @@ def test_kron_matches_np_kron(rng):
     assert out.shape == (2, 4, 3, 5)
     np.testing.assert_allclose(np.asarray(out.array).reshape(8, 15),
                                np.kron(A, B), rtol=1e-10)
+
+
+def test_randn_fresh_seed_by_default():
+    a = la.randn((16,))
+    b = la.randn((16,))
+    assert not np.allclose(np.asarray(a.array), np.asarray(b.array))

@@ -58,3 +58,14 @@ def test_to_graphviz(rng):
     assert "n0" in src and "n1" in src
     # two dangling edges -> two invisible ghosts
     assert src.count("invis") >= 2
+
+
+def test_hdf5_boundary_edge_either_orientation(tmp_path, rng):
+    import tensornetwork_tpu as tn
+    inside = tn.Node(rng.standard_normal((3,)), name="in")
+    outside = tn.Node(rng.standard_normal((3,)), name="out")
+    tn.connect(outside[0], inside[0])
+    path = os.path.join(tmp_path, "boundary.h5")
+    save_nodes([inside], path)
+    nodes = load_nodes(path)
+    assert nodes[0].edges[0].is_dangling()
