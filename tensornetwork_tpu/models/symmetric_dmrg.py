@@ -118,27 +118,27 @@ def _normalize_flows(t: BlockSparseTensor,
                              [list(g) for g in t._order])
 
 
-def _add_left(L, A, W):
+def _add_left(L, A, W, td=tensordot):
     """L' = L·A·W·conj(A)."""
-    t = tensordot(L, A, [[0], [0]])          # (wl, lb, s, r)
-    t = tensordot(t, W, [[0, 2], [0, 3]])    # (lb, r, wr, sout)
-    t = tensordot(t, A.conj(), [[0, 3], [0, 1]])  # (r, wr, rb)
+    t = td(L, A, [[0], [0]])          # (wl, lb, s, r)
+    t = td(t, W, [[0, 2], [0, 3]])    # (lb, r, wr, sout)
+    t = td(t, A.conj(), [[0, 3], [0, 1]])  # (r, wr, rb)
     return t
 
 
-def _add_right(R, A, W):
+def _add_right(R, A, W, td=tensordot):
     """R' = A·W·R·conj(A)."""
-    t = tensordot(A, R, [[2], [0]])          # (l, s, wr, rb)
-    t = tensordot(t, W, [[1, 2], [3, 1]])    # (l, rb, wl, sout)
-    t = tensordot(t, A.conj(), [[1, 3], [2, 1]])  # (l, wl, lb)
+    t = td(A, R, [[2], [0]])          # (l, s, wr, rb)
+    t = td(t, W, [[1, 2], [3, 1]])    # (l, rb, wl, sout)
+    t = td(t, A.conj(), [[1, 3], [2, 1]])  # (l, wl, lb)
     return t
 
 
-def _matvec_1s(L, W, R, x):
+def _matvec_1s(L, W, R, x, td=tensordot):
     """y = L·W·R·x for x[l, s, r]."""
-    t = tensordot(L, x, [[0], [0]])          # (wl, lb, s, r)
-    t = tensordot(t, W, [[0, 2], [0, 3]])    # (lb, r, wr, sout)
-    t = tensordot(t, R, [[1, 2], [0, 1]])    # (lb, sout, rb)
+    t = td(L, x, [[0], [0]])          # (wl, lb, s, r)
+    t = td(t, W, [[0, 2], [0, 3]])    # (lb, r, wr, sout)
+    t = td(t, R, [[1, 2], [0, 1]])    # (lb, sout, rb)
     return t
 
 
@@ -164,9 +164,22 @@ class SymmetricFiniteDMRG:
     """One-/two-site DMRG over block-sparse U(1) tensors."""
 
     def __init__(self, mps: List[BlockSparseTensor],
-                 mpo: List[BlockSparseTensor]):
+                 mpo: List[BlockSparseTensor], engine: str = "numpy"):
+        """``engine='device'`` routes the sector contractions through the
+        compiled accelerator executor
+        (:mod:`tensornetwork_tpu.blocksparse.jax_engine`); worthwhile for
+        large per-sector blocks (chi >= several hundred), dispatch-bound
+        below that."""
         if len(mps) != len(mpo):
             raise ValueError("MPS and MPO must have equal length")
+        if engine == "device":
+            from tensornetwork_tpu.blocksparse.jax_engine import (
+                tensordot_device)
+            self._td = tensordot_device
+        elif engine == "numpy":
+            self._td = tensordot
+        else:
+            raise ValueError(f"unknown engine {engine!r}")
         self.mps = list(mps)
         self.mpo = list(mpo)
         self.N = len(mps)
@@ -213,8 +226,8 @@ class SymmetricFiniteDMRG:
 
         def mv(data):
             x = BlockSparseTensor(data, *structure)
-            y = _matvec_1s(L, W, R, x)
-            return y.data
+            y = _matvec_1s(L, W, R, x, self._td)
+            return np.asarray(y.data)
 
         if n == 1:
             e = float(mv(np.ones(1))[0])
@@ -234,7 +247,7 @@ class SymmetricFiniteDMRG:
         Rs[self.N] = _boundary_right(self.mps[-1].flat_charges[-1])
         for site in range(self.N - 1, 0, -1):
             Rs[site] = _add_right(Rs[site + 1], self.mps[site],
-                                  self.mpo[site])
+                                  self.mpo[site], self._td)
         e_prev = None
         e = np.inf
         for sweep in range(num_sweeps):
@@ -250,7 +263,7 @@ class SymmetricFiniteDMRG:
                 if site < self.N - 1:
                     self._shift_right(site)
                     Ls[site + 1] = _add_left(Ls[site], self.mps[site],
-                                             self.mpo[site])
+                                             self.mpo[site], self._td)
             # right-to-left
             Rs[self.N] = _boundary_right(self.mps[-1].flat_charges[-1])
             for site in range(self.N - 1, -1, -1):
@@ -261,7 +274,7 @@ class SymmetricFiniteDMRG:
                 if site > 0:
                     self._shift_left(site)
                     Rs[site] = _add_right(Rs[site + 1], self.mps[site],
-                                          self.mpo[site])
+                                          self.mpo[site], self._td)
             self.energies.append(e)
             if verbose:
                 print(f"sweep {sweep}: E = {e:.12f}")
@@ -279,7 +292,7 @@ class SymmetricFiniteDMRG:
         Rs[self.N] = _boundary_right(self.mps[-1].flat_charges[-1])
         for site in range(self.N - 1, 1, -1):
             Rs[site] = _add_right(Rs[site + 1], self.mps[site],
-                                  self.mpo[site])
+                                  self.mpo[site], self._td)
         e_prev = None
         e = np.inf
         for sweep in range(num_sweeps):
@@ -289,13 +302,13 @@ class SymmetricFiniteDMRG:
                 e, _ = self._two_site_update(site, Ls, Rs, max_bond_dim,
                                              num_krylov_vecs, "right")
                 Ls[site + 1] = _add_left(Ls[site], self.mps[site],
-                                         self.mpo[site])
+                                         self.mpo[site], self._td)
             Rs[self.N] = _boundary_right(self.mps[-1].flat_charges[-1])
             for site in range(self.N - 2, -1, -1):
                 e, _ = self._two_site_update(site, Ls, Rs, max_bond_dim,
                                              num_krylov_vecs, "left")
                 Rs[site + 1] = _add_right(Rs[site + 2], self.mps[site + 1],
-                                          self.mpo[site + 1])
+                                          self.mpo[site + 1], self._td)
             self.energies.append(e)
             if verbose:
                 print(f"sweep {sweep}: E = {e:.12f}")

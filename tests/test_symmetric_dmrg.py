@@ -91,3 +91,15 @@ def test_energy_via_environments_consistent():
     den = float(E.todense().reshape(-1)[0]) if hasattr(E, "todense") else \
         float(E)
     np.testing.assert_allclose(float(num) / den, e, rtol=1e-8)
+
+
+def test_symmetric_dmrg_device_engine_matches_numpy():
+    N, chi = 6, 8
+    mpo = u1_xxz_mpo(1.0, 1.0, 0.0, N)
+    mps = half_filled_mps(N, chi, seed=4)
+    e_np = SymmetricFiniteDMRG(mps, mpo).run_one_site(
+        num_sweeps=3, num_krylov_vecs=20)
+    mps2 = half_filled_mps(N, chi, seed=4)
+    e_dev = SymmetricFiniteDMRG(mps2, mpo, engine="device").run_one_site(
+        num_sweeps=3, num_krylov_vecs=20)
+    np.testing.assert_allclose(e_dev, e_np, rtol=1e-8)
