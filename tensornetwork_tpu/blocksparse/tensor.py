@@ -191,17 +191,24 @@ def _balanced_partition(dims: List[int]) -> int:
 class ChargeArray:
     """Dense array with per-leg charges (no conservation constraint);
     used for singular-value vectors etc. (reference
-    ``blocksparsetensor.py:35``)."""
+    ``blocksparsetensor.py:35``).  ``order`` groups elementary charge
+    vectors into composite legs (reshape bookkeeping)."""
 
     def __init__(self, data: np.ndarray, charges: Sequence[BaseCharge],
-                 flows: Sequence[bool]):
+                 flows: Sequence[bool],
+                 order: Optional[List[List[int]]] = None):
         self.data = np.asarray(data)
         self._charges = list(charges)
         self._flows = [bool(f) for f in flows]
+        if order is None:
+            order = [[i] for i in range(len(self._charges))]
+        self._order = [list(g) for g in order]
 
     @property
     def shape(self) -> Tuple[int, ...]:
-        return tuple(c.dim for c in self._charges)
+        return tuple(
+            int(np.prod([self._charges[i].dim for i in g],
+                        dtype=np.int64)) for g in self._order)
 
     @property
     def flat_charges(self) -> List[BaseCharge]:
@@ -221,7 +228,7 @@ class ChargeArray:
 
     @property
     def ndim(self) -> int:
-        return len(self._charges)
+        return len(self._order)
 
     @property
     def dtype(self):
@@ -229,6 +236,49 @@ class ChargeArray:
 
     def todense(self) -> np.ndarray:
         return self.data.reshape(self.shape)
+
+    def reshape(self, shape) -> "ChargeArray":
+        """Reshape along elementary charge boundaries (dense data is
+        untouched; reference ``ChargeArray.reshape``,
+        ``blocksparsetensor.py:205``)."""
+        shape = tuple(int(x) for x in shape)
+        dims = [c.dim for c in self._charges]
+        groups, i = [], 0
+        for s_ in shape:
+            g, prod = [], 1
+            while prod < s_ and i < len(dims):
+                prod *= dims[i]
+                g.append(i)
+                i += 1
+            if not g and i < len(dims) and dims[i] == 1:
+                g.append(i)
+                i += 1
+            if prod != s_ or not g:
+                raise ValueError(
+                    f"cannot reshape {self.shape} into {shape}: target "
+                    f"dim {s_} does not align with charge boundaries")
+            groups.append(g)
+        while i < len(dims) and dims[i] == 1:
+            groups[-1].append(i)
+            i += 1
+        if i != len(dims):
+            raise ValueError(f"cannot reshape {self.shape} into {shape}")
+        return ChargeArray(self.data, self._charges, self._flows, groups)
+
+    def transpose(self, order) -> "ChargeArray":
+        """(dense data transpose with charge bookkeeping; reference
+        ``ChargeArray.transpose``, ``blocksparsetensor.py:340``)"""
+        order = list(order)
+        dense = self.todense().transpose(order)
+        flat_perm = [i for g in [self._order[o] for o in order] for i in g]
+        new_order, k = [], 0
+        for o in order:
+            g = self._order[o]
+            new_order.append(list(range(k, k + len(g))))
+            k += len(g)
+        return ChargeArray(dense.reshape(-1),
+                           [self._charges[i] for i in flat_perm],
+                           [self._flows[i] for i in flat_perm], new_order)
 
     def __mul__(self, other):
         if np.isscalar(other):

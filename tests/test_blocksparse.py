@@ -362,3 +362,20 @@ def test_tensordot_device_with_permutation(rng):
     out_dev = tensordot_device(a, b, [[0, 2], [1, 0]])
     np.testing.assert_allclose(out_dev.todense(), out_np.todense(),
                                atol=1e-10)
+
+
+def test_chargearray_reshape_transpose(rng):
+    from tensornetwork_tpu.blocksparse.tensor import ChargeArray
+    c1 = U1Charge(np.array([0, 1, -1]))
+    c2 = U1Charge(np.array([0, 1]))
+    data = rng.standard_normal(6)
+    arr = ChargeArray(data, [c1, c2], [False, True])
+    t = arr.transpose([1, 0])
+    np.testing.assert_allclose(t.todense(), data.reshape(3, 2).T)
+    flat = arr.reshape([6])
+    assert flat.ndim == 1
+    np.testing.assert_allclose(flat.todense(), data)
+    back = flat.reshape([3, 2])
+    np.testing.assert_allclose(back.todense(), data.reshape(3, 2))
+    with pytest.raises(ValueError):
+        arr.reshape([2, 3])
