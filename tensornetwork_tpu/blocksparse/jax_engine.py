@@ -26,7 +26,10 @@ from tensornetwork_tpu.blocksparse.tensor import (
     BlockSparseTensor, find_diagonal_blocks, compute_num_nonzero,
     nonzero_dense_coords, _lookup_key)
 
-_PLAN_CACHE: dict = {}
+from collections import OrderedDict
+
+_PLAN_CACHE: "OrderedDict" = OrderedDict()
+_PLAN_CACHE_CAPACITY = 128  # plans pin device index maps; bound the leak
 
 
 def _structure_key(t: BlockSparseTensor):
@@ -102,10 +105,12 @@ def _build_plan(t1: BlockSparseTensor, t2: BlockSparseTensor,
                          flows=out_flows, order=out_order))
 
 
-def _get_plan(t1, t2, axes1, axes2):
+def _get_plan(t1, t2, axes1, axes2, precision="highest"):
     key = (_structure_key(t1), _structure_key(t2), tuple(axes1),
-           tuple(axes2))
+           tuple(axes2), precision)
     plan = _PLAN_CACHE.get(key)
+    if plan is not None:
+        _PLAN_CACHE.move_to_end(key)
     if plan is None:
         plan = _build_plan(t1, t2, axes1, axes2)
         # device constants for the executor
@@ -118,8 +123,10 @@ def _get_plan(t1, t2, axes1, axes2):
                        else jnp.asarray(plan["perm1"]))
         plan["jp2"] = (None if plan["perm2"] is None
                        else jnp.asarray(plan["perm2"]))
-        plan["run"] = _make_executor(plan)
+        plan["run"] = _make_executor(plan, precision)
         _PLAN_CACHE[key] = plan
+        while len(_PLAN_CACHE) > _PLAN_CACHE_CAPACITY:
+            _PLAN_CACHE.popitem(last=False)
     return plan
 
 
@@ -166,7 +173,23 @@ def tensordot_device(
         axes2 = list(range(axes))
     else:
         axes1, axes2 = [list(a) for a in axes]
-    plan = _get_plan(t1, t2, axes1, axes2)
+    if len(axes1) == 0:
+        from tensornetwork_tpu.blocksparse.tensor import outerproduct
+        return outerproduct(t1, t2)
+    # same loud validation as the numpy engine: without it, mismatched
+    # charges/flows would just find no common sectors and silently
+    # return zeros
+    s1, s2 = t1.sparse_shape, t2.sparse_shape
+    for a1, a2 in zip(axes1, axes2):
+        i1, i2 = s1[a1], s2[a2]
+        if i1.dim != i2.dim:
+            raise ValueError(
+                f"cannot contract axes with dims {i1.dim} and {i2.dim}")
+        if not np.array_equal(i1.charges.charges,
+                              i2.charges.dual(True).charges):
+            raise ValueError(
+                "contracted legs have incompatible charges/flows")
+    plan = _get_plan(t1, t2, axes1, axes2, precision)
     d1 = jnp.asarray(t1.data)
     d2 = jnp.asarray(t2.data)
     result = plan["run"](d1, d2)

@@ -157,15 +157,15 @@ def _imps_correlator(self, op1, op2, site1: int, sites2):
     computed with the dominant transfer environments).  ``sites2`` are
     absolute site indices >= site1; sites beyond the unit cell use
     repeated transfer application."""
+    if len(sites2) == 0:
+        return []
     _, vl = self.transfer_matrix_eigs("left", 1)
     _, vr = self.transfer_matrix_eigs("right", 1)
-    eta_arr, _ = self.transfer_matrix_eigs("right", 1)
     l = _hermitize_psd(vl[0], self.As.dtype)
     r = _hermitize_psd(vr[0], self.As.dtype)
     op1 = jnp.asarray(op1, self.As.dtype)
     op2 = jnp.asarray(op2, self.As.dtype)
     N = self.num_sites
-    eta = jnp.real(jnp.asarray(eta_arr[0]))
 
     def site_tensor(j):
         return self.As[j % N]
@@ -176,13 +176,20 @@ def _imps_correlator(self, op1, op2, site1: int, sites2):
         A = site_tensor(k)
         m = jnp.einsum("ab,asc,bsd->cd", m, A, jnp.conj(A),
                        optimize="auto")
+    results = {}
     A1 = site_tensor(site1)
+    if site1 in sites2:
+        # same-site correlator: fused operator
+        num = jnp.einsum("ab,asc,st,btd,cd->", m, A1, op1 @ op2,
+                         jnp.conj(A1), r, optimize="auto")
+        den = jnp.einsum("ab,asc,bsd,cd->", m, A1, jnp.conj(A1), r,
+                         optimize="auto")
+        results[site1] = num / den
     E = jnp.einsum("ab,asc,st,btd->cd", m, A1, op1, jnp.conj(A1),
                    optimize="auto")
     # normalization envs advanced in lockstep
     n_env = jnp.einsum("ab,asc,bsd->cd", m, A1, jnp.conj(A1),
                        optimize="auto")
-    results = {}
     pos = site1 + 1
     max_site = max(sites2)
     while pos <= max_site:
@@ -207,11 +214,14 @@ InfiniteMPS.measure_two_body_correlator = _imps_correlator
 
 
 def _hermitize_psd(m: Array, dtype=None) -> Array:
-    m = 0.5 * (m + jnp.conj(m.T))
+    # remove the eigensolver's arbitrary global phase BEFORE hermitizing:
+    # for phase ~ +-i, hermitizing first would collapse the fixed point
     tr = jnp.trace(m)
-    m = m * jnp.sign(jnp.real(tr))
+    mag = jnp.abs(tr)
+    phase = jnp.where(mag > 0, tr / jnp.where(mag > 0, mag, 1.0), 1.0)
+    m = m * jnp.conj(phase)
+    m = 0.5 * (m + jnp.conj(m.T))
     if dtype is not None and not jnp.issubdtype(dtype, jnp.complexfloating):
-        # a real transfer map has a real dominant eigenvector up to phase
         m = jnp.real(m).astype(dtype)
     return m
 

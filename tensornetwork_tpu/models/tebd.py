@@ -53,7 +53,6 @@ def tebd_sweep(mps, gate, max_singular_values: Optional[int] = None,
         terr = mps.apply_two_site_gate(
             gate, b, b + 1, max_singular_values=max_singular_values,
             max_truncation_err=max_truncation_err, center_position=b + 1)
-        mps.center_position = b + 1
         total += float(terr)
     mps.position(0)
     return total

@@ -379,3 +379,21 @@ def test_chargearray_reshape_transpose(rng):
     np.testing.assert_allclose(back.todense(), data.reshape(3, 2))
     with pytest.raises(ValueError):
         arr.reshape([2, 3])
+
+
+def test_tensordot_device_validates_like_numpy(rng):
+    from tensornetwork_tpu.blocksparse.jax_engine import tensordot_device
+    cs = rand_charge(rng, 4)
+    a = randn([Index(cs, False), Index(rand_charge(rng, 3), True)],
+              seed=41)
+    b = randn([Index(cs, False), Index(rand_charge(rng, 3), False)],
+              seed=42)
+    with pytest.raises(ValueError):
+        tensordot_device(a, b, [[0], [0]])
+    # axes=0 routes to outer product
+    c = randn([Index(cs, False)], seed=43)
+    d = randn([Index(rand_charge(rng, 3), True)], seed=44)
+    out = tensordot_device(c, d, 0)
+    np.testing.assert_allclose(out.todense(),
+                               np.tensordot(c.todense(), d.todense(), 0),
+                               atol=1e-12)

@@ -187,3 +187,24 @@ def test_imps_correlator_decays_for_random_state():
     # the raw correlator tends to <Z>^2
     z = float(np.real(imps.measure_local_operator(Z)))
     assert abs(vals[-1] - z * z) < abs(vals[0] - z * z) + 1e-6
+
+
+def test_imps_correlator_same_site_and_empty():
+    chi, d = 3, 2
+    A = np.zeros((1, chi, d, chi)); A[0, 0, 0, 0] = 1.0
+    imps = InfiniteMPS(jnp.asarray(A))
+    Z = np.diag([1.0, -1.0])
+    vals = imps.measure_two_body_correlator(Z, Z, 0, [0, 2])
+    np.testing.assert_allclose(np.real(np.asarray(vals)), 1.0, atol=1e-8)
+    assert imps.measure_two_body_correlator(Z, Z, 0, []) == []
+
+
+def test_imps_complex_dtype_canonicalize():
+    # complex unit cell: phase handling in the fixed points must be robust
+    rng_ = np.random.default_rng(3)
+    A = (rng_.standard_normal((1, 6, 2, 6))
+         + 1j * rng_.standard_normal((1, 6, 2, 6))) / np.sqrt(12)
+    imps = InfiniteMPS(jnp.asarray(A))
+    eta, r = imps.canonicalize()
+    assert np.isfinite(eta)
+    assert imps.check_right_canonical() < 1e-6
