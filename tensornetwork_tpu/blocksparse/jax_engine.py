@@ -2,12 +2,15 @@
 
 The host computes the sector metadata exactly as the numpy engine does
 (charge fusion, block maps, matching); what runs on device is a compiled
-"sector plan": per charge sector one gather -> GEMM -> scatter, unrolled
-inside a single jit.  This moves the reference's serial per-sector loop
-(reference ``block_sparse/blocksparsetensor.py:1094-1101``) onto the MXU
-and is the execution model for the chi=1024 x many-realizations U(1)
-configuration (SURVEY §7.7): the ragged sector matmuls become a handful
-of dense GEMMs per contraction.
+"sector plan": sectors are *shape-bucketed* — every sector whose GEMM
+rounds to the same padded (R, K, C) joins one batched gather -> batched
+GEMM -> scatter, so a contraction executes as a handful of large batched
+matmuls inside a single jit.  Padding gathers read a zero slot appended
+to each operand (exact zeros, no masks); padded scatter positions land in
+a dummy tail slot of the output.  This moves the reference's serial
+per-sector loop (reference ``block_sparse/blocksparsetensor.py:1094-1101``)
+onto the MXU and is the execution model for the chi=1024 x
+many-realizations U(1) configuration (SURVEY §7.7).
 
 The plan (all index arrays) is cached per (structures, axes) — repeated
 contractions with the same charge structure (DMRG sweeps) pay metadata
@@ -88,7 +91,8 @@ def _build_plan(t1: BlockSparseTensor, t2: BlockSparseTensor,
             sectors.append((maps1[ia[t]], maps2[ib[t]], None,
                             shapes1[ia[t]], shapes2[ib[t]]))
         return dict(perm1=perm1, perm2=perm2, sectors=sectors,
-                    scalar=True, out=None)
+                    scalar=True, out=None,
+                    nnz1=t1.data.size, nnz2=t2.data.size)
     out_nnz = compute_num_nonzero(out_charges, out_flows)
     p_out = sum(len(out_order[i]) for i in range(len(free1)))
     common_out, maps_out, shapes_out = find_diagonal_blocks(
@@ -102,7 +106,80 @@ def _build_plan(t1: BlockSparseTensor, t2: BlockSparseTensor,
                         shapes1[s1], shapes2[s2]))
     return dict(perm1=perm1, perm2=perm2, sectors=sectors, scalar=False,
                 out=dict(nnz=out_nnz, charges=out_charges,
-                         flows=out_flows, order=out_order))
+                         flows=out_flows, order=out_order),
+                nnz1=t1.data.size, nnz2=t2.data.size)
+
+
+# below this window width, windowed dynamic-slice fetch loses to one
+# padded elementwise gather (TPU gathers amortize per-element cost only
+# over wide contiguous runs)
+_MIN_RUN = 32
+
+
+def _round_dim(x: int) -> int:
+    """Bucket rounding: small dims to the next power of two (>=8), large
+    dims to the next multiple of 128 (one MXU tile)."""
+    if x >= 128:
+        return ((x + 127) // 128) * 128
+    p = 8
+    while p < x:
+        p *= 2
+    return p
+
+
+def _build_buckets(plan):
+    """Group sectors by padded GEMM shape so each bucket executes as ONE
+    batched matmul on the MXU (SURVEY §7.7: shape-bucketed ragged sector
+    matmuls) instead of one underfilled GEMM per charge sector.
+
+    Block rows are *contiguous runs* in the flat data vector (the maps
+    from ``find_diagonal_blocks`` are ``start + arange(width)`` per row),
+    so operand blocks are fetched as slice-gathers (windowed
+    ``dynamic_slice``) instead of elementwise gathers — the form the TPU
+    memory system executes at HBM bandwidth.  Columns past a sector's
+    true width (bucket padding) would read the *next* run's data; a
+    static per-sector column mask zeroes them before the GEMM.
+    """
+    groups = {}
+    for idx, (m1, m2, mo, s1, s2) in enumerate(plan["sectors"]):
+        key = (_round_dim(s1[0]), _round_dim(s1[1]), _round_dim(s2[1]))
+        groups.setdefault(key, []).append((m1, m2, mo, s1, s2))
+    buckets = []
+    for (R, K, C), secs in groups.items():
+        G = len(secs)
+        # windowed (slice) fetch pays off only for wide runs; narrow runs
+        # (window < _MIN_RUN) fall back to one padded elementwise gather
+        win1 = K >= _MIN_RUN
+        win2 = C >= _MIN_RUN
+        win_o = C >= _MIN_RUN
+        S1 = np.full((G, R), plan["nnz1"], dtype=np.int32)
+        S2 = np.full((G, K), plan["nnz2"], dtype=np.int32)
+        M1 = np.full((G, R, K), plan["nnz1"], dtype=np.int32)
+        M2 = np.full((G, K, C), plan["nnz2"], dtype=np.int32)
+        nnz_out = 0 if plan["scalar"] else plan["out"]["nnz"]
+        MO = np.full((G, R, C), nnz_out, dtype=np.int32)
+        mask1 = np.zeros((G, 1, K), dtype=np.float32)
+        mask2 = np.zeros((G, 1, C), dtype=np.float32)
+        scatters = []
+        for g, (m1, m2, mo, s1, s2) in enumerate(secs):
+            S1[g, : s1[0]] = m1[:, 0]
+            S2[g, : s2[0]] = m2[:, 0]
+            M1[g, : s1[0], : s1[1]] = m1
+            M2[g, : s2[0], : s2[1]] = m2
+            mask1[g, 0, : s1[1]] = 1.0
+            mask2[g, 0, : s2[1]] = 1.0
+            if mo is not None:
+                MO[g, : s1[0], : s2[1]] = mo
+                scatters.append((g, s1[0], s2[1],
+                                 mo[:, 0].astype(np.int32)))
+        buckets.append(dict(
+            R=R, K=K, C=C, win1=win1, win2=win2, win_o=win_o,
+            S1=S1 if win1 else None, S2=S2 if win2 else None,
+            M1=None if win1 else M1, M2=None if win2 else M2,
+            MO=None if win_o or plan["scalar"] else MO,
+            mask1=mask1, mask2=mask2,
+            scatters=scatters if win_o else []))
+    return buckets
 
 
 def _get_plan(t1, t2, axes1, axes2, precision="highest"):
@@ -113,12 +190,19 @@ def _get_plan(t1, t2, axes1, axes2, precision="highest"):
         _PLAN_CACHE.move_to_end(key)
     if plan is None:
         plan = _build_plan(t1, t2, axes1, axes2)
-        # device constants for the executor
+        def dev(x):
+            return None if x is None else jnp.asarray(x)
+
         plan["jx"] = [
-            (jnp.asarray(m1.reshape(-1)), jnp.asarray(m2.reshape(-1)),
-             None if mo is None else jnp.asarray(mo.reshape(-1)),
-             s1, s2)
-            for (m1, m2, mo, s1, s2) in plan["sectors"]]
+            dict(R=b["R"], K=b["K"], C=b["C"],
+                 win1=b["win1"], win2=b["win2"], win_o=b["win_o"],
+                 S1=dev(b["S1"]), S2=dev(b["S2"]),
+                 M1=dev(b["M1"]), M2=dev(b["M2"]), MO=dev(b["MO"]),
+                 mask1=jnp.asarray(b["mask1"]),
+                 mask2=jnp.asarray(b["mask2"]),
+                 scatters=[(g, r, c, jnp.asarray(so))
+                           for (g, r, c, so) in b["scatters"]])
+            for b in _build_buckets(plan)]
         plan["jp1"] = (None if plan["perm1"] is None
                        else jnp.asarray(plan["perm1"]))
         plan["jp2"] = (None if plan["perm2"] is None
@@ -130,27 +214,69 @@ def _get_plan(t1, t2, axes1, axes2, precision="highest"):
     return plan
 
 
+def _slice_gather(dx, starts, width):
+    """(G, R) start positions -> (G, R, width) contiguous windows."""
+    return jax.vmap(jax.vmap(
+        lambda s: jax.lax.dynamic_slice(dx, (s,), (width,))))(starts)
+
+
+def _window_scatter(out, starts, updates):
+    """Write ``updates[i]`` (rows of width C) at ``out[starts[i]:...]``.
+    Runs are disjoint and ordered -> unique/sorted scatter."""
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,))
+    return jax.lax.scatter(
+        out, starts[:, None], updates, dnums,
+        indices_are_sorted=True, unique_indices=True,
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
 def _make_executor(plan, precision: str = "highest"):
+    max_k = max((b["K"] for b in plan["jx"]), default=1)
+    max_c = max((b["C"] for b in plan["jx"]), default=1)
+
+    def fetch1(d1x, b, acc_dtype):
+        if b["win1"]:
+            blk = _slice_gather(d1x, b["S1"], b["K"])
+            return blk * b["mask1"].astype(acc_dtype)
+        return d1x[b["M1"]]
+
+    def fetch2(d2x, b, acc_dtype):
+        if b["win2"]:
+            blk = _slice_gather(d2x, b["S2"], b["C"])
+            return blk * b["mask2"].astype(acc_dtype)
+        return d2x[b["M2"]]
+
     @jax.jit
     def run(d1, d2):
         with jax.default_matmul_precision(precision):
             d1p = d1 if plan["jp1"] is None else d1[plan["jp1"]]
             d2p = d2 if plan["jp2"] is None else d2[plan["jp2"]]
+            # zero tail: dummy positions (index/start = nnz) and padded
+            # window edges read exact zeros
+            d1x = jnp.concatenate([d1p, jnp.zeros(max_k, d1.dtype)])
+            d2x = jnp.concatenate([d2p, jnp.zeros(max_c, d2.dtype)])
+            acc_dtype = jnp.result_type(d1.dtype, d2.dtype)
             if plan["scalar"]:
-                total = jnp.zeros((), jnp.result_type(d1.dtype, d2.dtype))
-                for (m1, m2, _, s1, s2) in plan["jx"]:
-                    b1 = d1p[m1].reshape(s1)
-                    b2 = d2p[m2].reshape(s2)
-                    total = total + jnp.sum(b1 * b2.T)
+                total = jnp.zeros((), acc_dtype)
+                for b in plan["jx"]:
+                    b1 = fetch1(d1x, b, acc_dtype)
+                    b2 = fetch2(d2x, b, acc_dtype)
+                    total = total + jnp.sum(jnp.matmul(b1, b2))
                 return total
-            out = jnp.zeros(plan["out"]["nnz"],
-                            jnp.result_type(d1.dtype, d2.dtype))
-            for (m1, m2, mo, s1, s2) in plan["jx"]:
-                b1 = d1p[m1].reshape(s1)
-                b2 = d2p[m2].reshape(s2)
-                res = jnp.dot(b1, b2)
-                out = out.at[mo].set(res.reshape(-1))
-            return out
+            # trailing dummy slot absorbs elementwise-scatter padding
+            out = jnp.zeros(plan["out"]["nnz"] + 1, acc_dtype)
+            for b in plan["jx"]:
+                b1 = fetch1(d1x, b, acc_dtype)              # (G, R, K)
+                b2 = fetch2(d2x, b, acc_dtype)              # (G, K, C)
+                res = jnp.matmul(b1, b2)                    # batched GEMM
+                if b["win_o"]:
+                    for (g, r, c, so) in b["scatters"]:
+                        out = _window_scatter(out, so, res[g, :r, :c])
+                else:
+                    out = out.at[b["MO"]].set(res)
+            return out[:-1]
 
     return run
 
@@ -196,8 +322,35 @@ def tensordot_device(
     if plan["scalar"]:
         return result
     o = plan["out"]
-    return BlockSparseTensor(np.asarray(result), o["charges"], o["flows"],
-                             [list(g) for g in o["order"]])
+    # keep the result device-resident: chained device contractions (env
+    # growth, Lanczos matvecs) then never roundtrip host<->HBM; numpy
+    # consumers trigger the transfer lazily via __array__.
+    out = BlockSparseTensor.__new__(BlockSparseTensor)
+    out.data = result
+    out._charges = list(o["charges"])
+    out._flows = list(o["flows"])
+    out._order = [list(g) for g in o["order"]]
+    return out
+
+
+def to_device(t: BlockSparseTensor) -> BlockSparseTensor:
+    """Pin a block-sparse tensor's data on the accelerator.
+
+    Chained :func:`tensordot_device` calls keep results device-resident,
+    but *inputs* with numpy data (MPO tensors, boundaries) would be
+    re-uploaded on every contraction; convert them once with this."""
+    out = BlockSparseTensor.__new__(BlockSparseTensor)
+    out.data = jnp.asarray(t.data)
+    out._charges = list(t._charges)
+    out._flows = list(t._flows)
+    out._order = [list(g) for g in t._order]
+    return out
+
+
+def from_device(t: BlockSparseTensor) -> BlockSparseTensor:
+    """Materialize a device-resident block-sparse tensor back to numpy."""
+    return BlockSparseTensor(np.asarray(t.data), t._charges, t._flows,
+                             [list(g) for g in t._order])
 
 
 def clear_plan_cache():

@@ -174,8 +174,11 @@ class SymmetricFiniteDMRG:
             raise ValueError("MPS and MPO must have equal length")
         if engine == "device":
             from tensornetwork_tpu.blocksparse.jax_engine import (
-                tensordot_device)
+                tensordot_device, to_device)
             self._td = tensordot_device
+            # pin the MPO on the accelerator once: otherwise every env
+            # growth / Lanczos matvec re-uploads the numpy-backed MPO
+            mpo = [to_device(w) for w in mpo]
         elif engine == "numpy":
             self._td = tensordot
         else:

@@ -397,3 +397,28 @@ def test_tensordot_device_validates_like_numpy(rng):
     np.testing.assert_allclose(out.todense(),
                                np.tensordot(c.todense(), d.todense(), 0),
                                atol=1e-12)
+
+
+def test_tensordot_device_windowed_path_and_pinning(rng):
+    """Wide charge degeneracies take the windowed (dynamic-slice) fetch
+    path; chained device calls with pinned operands stay device-resident
+    and match the numpy engine."""
+    from tensornetwork_tpu.blocksparse.jax_engine import (
+        tensordot_device, to_device, from_device)
+    cb = U1Charge(rng.integers(-1, 2, 200).astype(np.int16))
+    cd = U1Charge(rng.integers(-1, 2, 2).astype(np.int16))
+    a = randn([Index(cb, False), Index(cd, False), Index(cb, True)],
+              seed=51)
+    e = randn([Index(cb, True), Index(cb, False)], seed=52)
+    ad, ed = to_device(a), to_device(e)
+    acd = to_device(a.conj())
+    t_dev = tensordot_device(ed, ad, [[0], [0]])
+    out_dev = tensordot_device(t_dev, acd, [[0, 1], [0, 1]])
+    t_np = tensordot(e, a, [[0], [0]])
+    out_np = tensordot(t_np, a.conj(), [[0, 1], [0, 1]])
+    np.testing.assert_allclose(from_device(out_dev).todense(),
+                               out_np.todense(), atol=1e-8)
+    # scalar contraction through the windowed path
+    s_dev = tensordot_device(ad, acd, [[0, 1, 2], [0, 1, 2]])
+    s_np = tensordot(a, a.conj(), [[0, 1, 2], [0, 1, 2]])
+    np.testing.assert_allclose(float(s_dev), s_np, atol=1e-8)
