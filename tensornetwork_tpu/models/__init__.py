@@ -5,3 +5,5 @@ from tensornetwork_tpu.models.dmrg import FiniteDMRG
 from tensornetwork_tpu.models.mps import FiniteMPS
 from tensornetwork_tpu.models.infinite_mps import InfiniteMPS
 from tensornetwork_tpu.models import mera, tebd
+from tensornetwork_tpu.models.vumps import (
+    VUMPSState, VUMPSResult, vumps, vumps_iteration, correlation_length)
