@@ -7,3 +7,4 @@ from tensornetwork_tpu.models.infinite_mps import InfiniteMPS
 from tensornetwork_tpu.models import mera, tebd
 from tensornetwork_tpu.models.vumps import (
     VUMPSState, VUMPSResult, vumps, vumps_iteration, correlation_length)
+from tensornetwork_tpu.models.tdvp import TDVP, tdvp_one_site_sweep

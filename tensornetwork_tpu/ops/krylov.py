@@ -134,6 +134,44 @@ def eigsh_lanczos(
     return evals, vecs.reshape((numeig,) + shape)
 
 
+def expm_multiply_lanczos(
+    matvec: Callable,
+    v: jax.Array,
+    coeff,
+    num_krylov_vecs: int = 20,
+    delta: float = 1e-8,
+) -> jax.Array:
+    """``exp(coeff * A) @ v`` for Hermitian ``A`` via the Lanczos
+    projection: exp is taken of the small tridiagonal matrix
+    (eigendecomposition of T), so the whole evaluation is one static XLA
+    computation — jit/scan-safe.  ``coeff`` may be complex (real-time
+    evolution: ``coeff = -1j * dt``).  The input norm is preserved
+    exactly up to the Krylov projection error."""
+    shape = v.shape
+    m = min(num_krylov_vecs, int(v.size))
+    mv = lambda x: matvec(x.reshape(shape)).reshape(-1)
+    vf = v.reshape(-1)
+    nrm = jnp.linalg.norm(vf)
+    V, alphas, betas = lanczos_factorization(mv, vf, m, True, delta)
+    alphas_r = jnp.real(alphas)
+    # dead steps (invariant subspace hit) carry the +1e10 sentinel; their
+    # basis rows in V are zero, so replacing the sentinel with a finite
+    # value keeps exp() finite without changing the result
+    alphas_r = jnp.where(jnp.abs(alphas_r) >= 1e9, alphas_r[0], alphas_r)
+    betas_r = jnp.real(betas) if betas.size else betas
+    T = (jnp.diag(alphas_r) + jnp.diag(betas_r, 1) + jnp.diag(betas_r, -1))
+    evals, evecs = jnp.linalg.eigh(T)
+    coeff = jnp.asarray(coeff)
+    phases = jnp.exp(coeff * evals.astype(coeff.dtype))
+    e1 = evecs[0, :]  # first row of U: U^T e1 components
+    small = evecs.astype(phases.dtype) @ (phases * jnp.conj(e1.astype(
+        phases.dtype)))
+    out_dtype = jnp.promote_types(V.dtype, small.dtype)
+    out = (V.T.astype(out_dtype) @ small.astype(out_dtype)) * nrm.astype(
+        out_dtype)
+    return out.reshape(shape)
+
+
 def arnoldi_factorization(
     matvec: Callable,
     v0: jax.Array,
