@@ -87,6 +87,49 @@ def test_conv2d_mpo(rng):
     assert y2.shape == (2, 3, 3, 9)
 
 
+def _all_layers():
+    """One instance of every layer with a matching input (reference
+    serialization round-trips: ``tn_keras/test_*.py`` save/load model)."""
+    return [
+        (DenseDecomp(output_dim=16, decomp_size=4), (3, 32)),
+        (DenseMPO(output_dim=27, num_nodes=3, bond_dim=4), (3, 8)),
+        (DenseCondenser(exp_base=2, num_nodes=2), (3, 32)),
+        (DenseExpander(exp_base=2, num_nodes=2), (3, 8)),
+        (DenseEntangler(output_dim=81, num_legs=4, num_levels=2), (3, 16)),
+        (Conv2DMPO(filters=9, kernel_size=(3, 3), num_nodes=2, bond_dim=3),
+         (2, 6, 6, 4)),
+    ]
+
+
+def test_serialization_roundtrip_bytes(rng):
+    """flax msgpack bytes round-trip preserves the forward pass exactly."""
+    import flax.serialization
+    for layer, shape in _all_layers():
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        params = layer.init(jax.random.PRNGKey(0), x)
+        y0 = layer.apply(params, x)
+        blob = flax.serialization.to_bytes(params)
+        # restore into a freshly initialized (different-seed) skeleton
+        skeleton = layer.init(jax.random.PRNGKey(7), x)
+        restored = flax.serialization.from_bytes(skeleton, blob)
+        y1 = layer.apply(restored, x)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
+def test_serialization_roundtrip_checkpoint(rng, tmp_path):
+    """orbax checkpoint round-trip through utils.checkpoint."""
+    from tensornetwork_tpu.utils.checkpoint import load_pytree, save_pytree
+    layer, shape = _all_layers()[1]
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    y0 = layer.apply(params, x)
+    path = str(tmp_path / "mpo_layer")
+    save_pytree(path, params)
+    restored = load_pytree(path)
+    y1 = layer.apply(restored, x)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
 def test_training_step_decreases_loss(rng):
     # tiny regression: y = sum(x), model must fit it a bit
     layer = DenseMPO(output_dim=4, num_nodes=2, bond_dim=4,
