@@ -100,6 +100,43 @@ def test_imaginary_time_converges_to_ground_state():
     assert abs(tdvp.energy() - e_exact) < 1e-4
 
 
+def test_two_site_matches_exact_expm():
+    N, chi = 6, 8
+    mpo = FiniteTFI(-1.0, -1.2, N=N)
+    H = mpo_to_dense(mpo)
+    v = np.array([1.0, 0.6]) / np.linalg.norm([1.0, 0.6])
+    As = _product_state_stack(N, chi, v, np.complex128)
+    psi0 = np.array([1.0])
+    for _ in range(N):
+        psi0 = np.kron(psi0, v)
+    tdvp = TDVP(As, mpo)
+    e0 = tdvp.energy()
+    t, steps = 0.5, 25
+    tdvp.evolve(t, steps, two_site=True)
+    assert abs(tdvp.energy() - e0) < 1e-8
+    # full-rank manifold: no truncation happened
+    assert tdvp.truncation_errors[-1] == 0.0
+    psi_t = sla.expm(-1j * t * H) @ psi0.astype(np.complex128)
+    vec = _dense_from_stack(tdvp.As)
+    fidelity = abs(np.vdot(vec / np.linalg.norm(vec),
+                           psi_t / np.linalg.norm(psi_t)))
+    assert fidelity > 1 - 1e-8
+
+
+def test_two_site_truncates_when_chi_limited():
+    # chi=2 < needed bond content: truncation error must accumulate but
+    # the state stays normalized and energy stays finite
+    N, chi = 6, 2
+    mpo = FiniteTFI(-1.0, -1.5, N=N)
+    v = np.array([1.0, 0.0])
+    As = _product_state_stack(N, chi, v, np.complex128)
+    tdvp = TDVP(As, mpo)
+    tdvp.evolve(1.0, 20, two_site=True)
+    assert tdvp.truncation_errors[-1] > 0.0
+    vec = _dense_from_stack(tdvp.As)
+    np.testing.assert_allclose(np.linalg.norm(vec), 1.0, atol=1e-8)
+
+
 def test_sweep_is_jit_cached():
     # two sweeps with the same shapes must not retrace (compile cache hit)
     N, chi = 4, 4
