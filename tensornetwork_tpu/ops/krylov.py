@@ -100,6 +100,8 @@ def eigsh_lanczos(
     reorthogonalize: bool = True,
     delta: float = 1e-8,
     num_restarts: int = 1,
+    ritz_method: str = "eigh",
+    power_iters: int = 60,
 ) -> Tuple[jax.Array, jax.Array]:
     """Smallest ``numeig`` eigenpairs of a Hermitian operator.
 
@@ -122,7 +124,45 @@ def eigsh_lanczos(
         T = (jnp.diag(alphas_r)
              + jnp.diag(betas_r, 1)
              + jnp.diag(betas_r, -1)).astype(alphas_r.dtype)
-        evals, evecs = jnp.linalg.eigh(T)
+        if ritz_method == "power" and numeig == 1:
+            # steepest-descent Rayleigh-quotient minimization on T with a
+            # closed-form 2x2 Ritz step: avoids the batched small-matrix
+            # eigh, which is pathologically slow on TPU (measured 4.8 ms
+            # for (256,10,10) stacks vs ~1.4 ms for this path).  Warm
+            # start from e1 — in DMRG, e1 of the Krylov basis IS the
+            # current site tensor, already near-converged after the first
+            # sweep.  Variational: the result is a Rayleigh quotient in
+            # the Krylov space.  Dead-step sentinels (+1e10 decoupled
+            # diagonals) are never entered: their gradient component is
+            # (1e10-lam)*w_k = 0 while w_k stays 0.
+            m = T.shape[0]
+            w = jnp.zeros((m,), T.dtype).at[0].set(1.0)
+
+            def pbody(w, _):
+                Tw = T @ w
+                lam = w @ Tw
+                r = Tw - lam * w
+                r = r - (w @ r) * w
+                rn = jnp.linalg.norm(r)
+                u = r / jnp.where(rn > 1e-30, rn, 1.0)
+                Tu = T @ u
+                h = w @ Tu
+                g = u @ Tu
+                disc = jnp.sqrt(jnp.maximum((lam - g) ** 2 / 4 + h * h,
+                                            0.0))
+                mu = (lam + g) / 2 - disc
+                v = h * w + (mu - lam) * u
+                vn = jnp.linalg.norm(v)
+                w2 = v / jnp.where(vn > 1e-30, vn, 1.0)
+                w2 = jnp.where(rn > 1e-14, w2, w)
+                return w2, None
+
+            w, _ = jax.lax.scan(pbody, w, None, length=power_iters)
+            lam = w @ (T @ w)
+            evals = lam[None]
+            evecs = w[:, None]
+        else:
+            evals, evecs = jnp.linalg.eigh(T)
         vecs = (V.T @ evecs[:, :numeig].astype(V.dtype)).T
         norms = jnp.linalg.norm(vecs, axis=1, keepdims=True)
         vecs = vecs / jnp.where(norms > delta, norms, 1.0)

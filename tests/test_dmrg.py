@@ -164,3 +164,35 @@ def test_mpo_aliases():
     rolled = impo.roll(1)
     np.testing.assert_allclose(np.asarray(rolled.Ws[-1]),
                                np.asarray(mpo.Ws[0]))
+
+
+@pytest.mark.parametrize("qr_impl,ritz_impl", [
+    ("polar", "eigh"), ("householder", "power"), ("polar", "power")])
+def test_one_site_dmrg_alternative_impls(qr_impl, ritz_impl):
+    # MXU-friendly gauge-shift (Newton-Schulz polar) and Ritz (power
+    # iteration) variants must converge to the same ground energy
+    from tensornetwork_tpu.models.dmrg import one_site_sweep
+    N, chi = 8, 12
+    mpo = FiniteTFI(Jx=-1.0, Bz=-0.9, N=N)
+    exact = exact_ground_energy(mpo)
+    As = random_mps_stack(jax.random.PRNGKey(3), N, chi)
+    for _ in range(6):
+        res = one_site_sweep(As, mpo.Ws, mpo.vL, mpo.vR,
+                             num_krylov_vecs=20, qr_impl=qr_impl,
+                             ritz_impl=ritz_impl)
+        As = res.As
+    np.testing.assert_allclose(float(res.energy), exact, rtol=1e-6)
+
+
+def test_two_site_dmrg_alternative_impls():
+    from tensornetwork_tpu.models.dmrg import two_site_sweep
+    N, chi = 8, 12
+    mpo = FiniteTFI(Jx=-1.0, Bz=-0.9, N=N)
+    exact = exact_ground_energy(mpo)
+    As = random_mps_stack(jax.random.PRNGKey(4), N, chi)
+    for _ in range(6):
+        res = two_site_sweep(As, mpo.Ws, mpo.vL, mpo.vR,
+                             num_krylov_vecs=20, qr_impl="polar",
+                             ritz_impl="power")
+        As = res.As
+    np.testing.assert_allclose(float(res.energy), exact, rtol=1e-6)

@@ -102,3 +102,21 @@ def test_eigsh_which(rng):
     hi, _ = krylov.eigsh(mv, v0, num_krylov_vecs=30, which="LA")
     np.testing.assert_allclose(float(lo[0]), exact[0], rtol=1e-8)
     np.testing.assert_allclose(float(hi[0]), exact[-1], rtol=1e-8)
+
+
+def test_lanczos_power_ritz_ground_state(rng):
+    # ritz_method="power" (shifted power iteration on the tridiagonal
+    # projection) must agree with the eigh path for numeig=1
+    n = 50
+    H = _herm(rng, n)
+    exact = np.linalg.eigvalsh(H)[0]
+    v0 = jnp.asarray(rng.standard_normal(n))
+    mv = lambda x: jnp.asarray(H) @ x
+    # cold start (random v0 => e1 warm start is uninformed): needs more
+    # descent steps than the warm-started DMRG usage
+    evals, evecs = krylov.eigsh_lanczos(
+        mv, v0, num_krylov_vecs=40, numeig=1, ritz_method="power",
+        power_iters=150)
+    np.testing.assert_allclose(float(evals[0]), exact, rtol=1e-8)
+    v = np.asarray(evecs[0])
+    np.testing.assert_allclose(H @ v, exact * v, atol=1e-5)
