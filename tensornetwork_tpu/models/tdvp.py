@@ -22,6 +22,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tensornetwork_tpu.models.dmrg import (
     _boundary_left, _boundary_right, _matvec_1s, _matvec_2s,
@@ -239,20 +240,37 @@ class TDVP:
 
     Accepts a stacked MPS ``(N, chi, d, chi)`` or
     :class:`~tensornetwork_tpu.models.mps.FiniteMPS`; for real-time
-    evolution pass a complex-dtype state."""
+    evolution pass a complex-dtype state, or set ``split_complex=True``
+    to carry the state as a split-complex pytree — required on TPU
+    backends without complex-dtype support (e.g. the remote axon runtime)
+    and accepted everywhere else.  With ``split_complex`` the input may
+    be a complex numpy/jax array (split on host) or an
+    :class:`~tensornetwork_tpu.ops.split_complex.SC` directly."""
 
-    def __init__(self, mps, mpo: MPO):
+    def __init__(self, mps, mpo: MPO, split_complex: bool = False):
+        from tensornetwork_tpu.ops import split_complex as sc_mod
+        self._sc = split_complex
         if hasattr(mps, "to_stack"):
             self._mps_obj = mps
             self.As = mps.to_stack()
         else:
             self._mps_obj = None
-            self.As = jnp.asarray(mps)
+            self.As = mps if isinstance(mps, sc_mod.SC) else jnp.asarray(mps)
+        if split_complex and not isinstance(self.As, sc_mod.SC):
+            self.As = sc_mod.from_complex(np.asarray(jax.device_get(self.As))
+                                          if jnp.iscomplexobj(self.As)
+                                          else self.As)
         self.mpo = mpo
         self.truncation_errors: list = []
         if self.As.shape[0] != mpo.num_sites:
             raise ValueError(
                 f"MPS has {self.As.shape[0]} sites, MPO {mpo.num_sites}")
+        if split_complex:
+            # MPO stays real: the SC sweep takes real MPO operands
+            self._Ws = jnp.asarray(mpo.Ws)
+            self._vL = jnp.asarray(mpo.vL)
+            self._vR = jnp.asarray(mpo.vR)
+            return
         # cast the MPO to the state dtype once, inside a jitted convert:
         # *eager* real->complex casts (and some host pulls) are
         # unimplemented on remote TPU backends, and re-casting per call
@@ -265,6 +283,16 @@ class TDVP:
 
     def step(self, dt, num_krylov_vecs: int = 20,
              imaginary: bool = False, two_site: bool = False) -> None:
+        if self._sc:
+            if two_site or imaginary:
+                raise NotImplementedError(
+                    "split-complex TDVP currently supports one-site "
+                    "real-time sweeps (imaginary time needs no complex "
+                    "dtype: run the plain real-dtype path)")
+            self.As = tdvp_one_site_sweep_sc(
+                self.As, self._Ws, self._vL, self._vR, dt,
+                num_krylov_vecs=num_krylov_vecs)
+            return
         if two_site:
             self.As, terr = tdvp_two_site_sweep(
                 self.As, self._Ws, self._vL, self._vR, dt,
@@ -285,5 +313,224 @@ class TDVP:
         return self.As
 
     def energy(self) -> float:
+        if self._sc:
+            e = mps_mpo_expectation_sc(self.As, self._Ws, self._vL,
+                                       self._vR)
+            return float(e.re)
         return float(jnp.real(mps_mpo_expectation(
             self.As, self._Ws, self._vL, self._vR)))
+
+
+# ---------------------------------------------------------------------------
+# Split-complex real-time TDVP: complex states on real-only TPU backends.
+# The axon TPU runtime has no complex dtypes (f32->c64 convert, complex
+# matmul and transfers all raise UNIMPLEMENTED), so the complex-dtype
+# sweep above cannot run on the chip.  This path carries the state as
+# ops.split_complex.SC pytrees: contractions lower to Karatsuba
+# dot_generals, local evolutions to the SC Lanczos exponentiation, and
+# gauge shifts to the matmul-only hybrid polar decomposition.
+# ---------------------------------------------------------------------------
+
+from tensornetwork_tpu.ops import split_complex as _sc
+from tensornetwork_tpu.ops.krylov import expm_multiply_lanczos_sc
+from tensornetwork_tpu.ops.ncon import ncon as _ncon
+
+
+def _renorm_sc(x):
+    n = _sc.norm(x)
+    safe = jnp.where(n > 0, n, 1.0)
+    return _sc.SC(x.re / safe, x.im / safe)
+
+
+def _update_left_sc(L, A, W):
+    # rvp <- awc,atr,wvst,csp (W real)
+    return _ncon([L, A, W, _sc.conj(A)],
+                 [(1, 2, 3), (1, 4, -1), (2, -2, 5, 4), (3, 5, -3)],
+                 con_order=(1, 4, 2, 5, 3), check_network=False, jit=False)
+
+
+def _update_right_sc(R, A, W):
+    # lwp <- bvd,ltb,wvst,psd
+    return _ncon([R, A, W, _sc.conj(A)],
+                 [(1, 2, 3), (-1, 4, 1), (-2, 2, 5, 4), (-3, 5, 3)],
+                 con_order=(1, 4, 2, 5, 3), check_network=False, jit=False)
+
+
+def _matvec_1s_sc(L, W, R, x):
+    # csd <- awc,wvst,atb,bvd
+    return _ncon([L, W, x, R],
+                 [(1, 2, -1), (2, 3, -2, 4), (1, 4, 5), (5, 3, -3)],
+                 con_order=(1, 4, 2, 5, 3), check_network=False, jit=False)
+
+
+def _matvec_C_sc(L, R, x):
+    # cd <- awc,ab,bwd
+    return _ncon([L, x, R],
+                 [(1, 2, -1), (1, 3), (3, 2, -2)],
+                 con_order=(1, 3, 2), check_network=False, jit=False)
+
+
+def _qr_shift_right_sc(A):
+    chi_l, d, chi_r = A.shape
+    m = _sc.reshape(A, (chi_l * d, chi_r))
+    # polar_complete, not polar: rank-deficient centers (product states)
+    # need a full isometric completion — the completion directions are
+    # what seeds entanglement growth, exactly as QR's Householder
+    # completion does in the complex-dtype path
+    Q, P = _sc.polar_complete(m)
+    return _sc.reshape(Q, (chi_l, d, chi_r)), P
+
+
+def _rq_shift_left_sc(A):
+    chi_l, d, chi_r = A.shape
+    m = _sc.adjoint(_sc.reshape(A, (chi_l, d * chi_r)))
+    Q, P = _sc.polar_complete(m)  # A^dag = Q P  =>  A = P^dag Q^dag
+    return _sc.adjoint(P), _sc.reshape(_sc.adjoint(Q), (chi_l, d, chi_r))
+
+
+def _boundary_left_sc(chi, vL):
+    L = jnp.einsum("ac,w->awc", jnp.eye(chi, dtype=vL.dtype), vL)
+    return _sc.SC(L, jnp.zeros_like(L))
+
+
+def _boundary_right_sc(chi, vR):
+    R = jnp.einsum("bd,v->bvd", jnp.eye(chi, dtype=vR.dtype), vR)
+    return _sc.SC(R, jnp.zeros_like(R))
+
+
+def right_canonicalize_and_envs_sc(As, Ws, vL, vR, R0=None):
+    """Split-complex analog of
+    :func:`tensornetwork_tpu.models.dmrg.right_canonicalize_and_envs`."""
+    N, chi, d, _ = As.shape
+    if R0 is None:
+        R0 = _boundary_right_sc(chi, vR)
+    Lm0 = _sc.SC(jnp.eye(chi, dtype=As.dtype),
+                 jnp.zeros((chi, chi), As.dtype))
+
+    def body(carry, inputs):
+        Renv, Lm = carry
+        A, W = inputs
+        A = _ncon([A, Lm], [(-1, -2, 1), (1, -3)],
+                  check_network=False, jit=False)
+        A = _renorm_sc(A)
+        Lm_new, Q = _rq_shift_left_sc(A)
+        Renv_new = _update_right_sc(Renv, Q, W)
+        return (Renv_new, Lm_new), (Q, Renv)
+
+    (_, Lm_final), (Qs, Renvs) = jax.lax.scan(body, (R0, Lm0), (As, Ws),
+                                              reverse=True)
+    Q0 = _ncon([Lm_final, _sc.SC(Qs.re[0], Qs.im[0])],
+               [(-1, 1), (1, -2, -3)], check_network=False, jit=False)
+    Qs = _sc.SC(Qs.re.at[0].set(Q0.re), Qs.im.at[0].set(Q0.im))
+    return Qs, Renvs
+
+
+@functools.partial(jax.jit, static_argnames=("num_krylov_vecs",))
+def tdvp_one_site_sweep_sc(
+    As, Ws: Array, vL: Array, vR: Array, dt,
+    num_krylov_vecs: int = 20,
+    boundary_envs=None,
+):
+    """One symmetric one-site real-time TDVP sweep on a split-complex MPS
+    stack (``As`` is an SC of shape (N, chi, d, chi); ``Ws`` is the real
+    MPO stack).  Evolves by ``exp(-i H dt)``.  Semantics identical to
+    :func:`tdvp_one_site_sweep` with a complex dtype — but runs on TPU
+    backends without complex support."""
+    with jax.default_matmul_precision("highest"):
+        return _tdvp_sweep_sc_impl(As, Ws, vL, vR, dt, num_krylov_vecs,
+                                   boundary_envs)
+
+
+def _tdvp_sweep_sc_impl(As, Ws, vL, vR, dt, num_krylov_vecs,
+                        boundary_envs=None):
+    N, chi, d, _ = As.shape
+    dt = jnp.asarray(dt)
+    zero = jnp.zeros_like(dt)
+    cf = _sc.SC(zero, -0.5 * dt)           # forward: exp(-i H dt/2)
+    cb_full = _sc.SC(zero, +0.5 * dt)      # backward bond step
+
+    As, Renvs = right_canonicalize_and_envs_sc(
+        As, Ws, vL, vR,
+        R0=None if boundary_envs is None else boundary_envs[1])
+    L0 = (_boundary_left_sc(chi, vL) if boundary_envs is None
+          else boundary_envs[0])
+    R0 = (_boundary_right_sc(chi, vR) if boundary_envs is None
+          else boundary_envs[1])
+    eyeC = _sc.SC(jnp.eye(chi, dtype=As.dtype),
+                  jnp.zeros((chi, chi), As.dtype))
+    site_idx = jnp.arange(N)
+    cb_lr = _sc.SC(jnp.zeros((N,), dt.dtype),
+                   jnp.where(site_idx < N - 1, cb_full.im, 0.0))
+    cb_rl = _sc.SC(jnp.zeros((N,), dt.dtype),
+                   jnp.where(site_idx > 0, cb_full.im, 0.0))
+
+    def body_lr(carry, inputs):
+        Lenv, C = carry
+        A, W, Renv, cb_i = inputs
+        AC = _ncon([C, A], [(-1, 1), (1, -2, -3)],
+                   check_network=False, jit=False)
+        AC = _renorm_sc(AC)
+        mv = lambda x: _matvec_1s_sc(Lenv, W, Renv, x)
+        AC = expm_multiply_lanczos_sc(mv, AC, cf, num_krylov_vecs)
+        AC = _renorm_sc(AC)
+        AL, Cn = _qr_shift_right_sc(AC)
+        Lenv_new = _update_left_sc(Lenv, AL, W)
+        mvc = lambda x: _matvec_C_sc(Lenv_new, Renv, x)
+        Cn = expm_multiply_lanczos_sc(mvc, Cn, cb_i, num_krylov_vecs)
+        Cn = _renorm_sc(Cn)
+        return (Lenv_new, Cn), (AL, Lenv)
+
+    (_, C_last), (ALs, Lenvs) = jax.lax.scan(
+        body_lr, (L0, eyeC), (As, Ws, Renvs, cb_lr))
+
+    def body_rl(carry, inputs):
+        Renv, C = carry
+        A, W, Lenv, cb_i = inputs
+        AC = _ncon([A, C], [(-1, -2, 1), (1, -3)],
+                   check_network=False, jit=False)
+        AC = _renorm_sc(AC)
+        mv = lambda x: _matvec_1s_sc(Lenv, W, Renv, x)
+        AC = expm_multiply_lanczos_sc(mv, AC, cf, num_krylov_vecs)
+        AC = _renorm_sc(AC)
+        Cn, AR = _rq_shift_left_sc(AC)
+        Renv_new = _update_right_sc(Renv, AR, W)
+        mvc = lambda x: _matvec_C_sc(Lenv, Renv_new, x)
+        Cn = expm_multiply_lanczos_sc(mvc, Cn, cb_i, num_krylov_vecs)
+        Cn = _renorm_sc(Cn)
+        return (Renv_new, Cn), AR
+
+    (_, C_first), ARs = jax.lax.scan(
+        body_rl, (R0, C_last), (ALs, Ws, Lenvs, cb_rl), reverse=True)
+    A0 = _ncon([C_first, _sc.SC(ARs.re[0], ARs.im[0])],
+               [(-1, 1), (1, -2, -3)], check_network=False, jit=False)
+    return _sc.SC(ARs.re.at[0].set(A0.re), ARs.im.at[0].set(A0.im))
+
+
+@jax.jit
+def mps_mpo_expectation_sc(As, Ws, vL, vR):
+    """<psi|H|psi>/<psi|psi> on a split-complex stack; returns an SC
+    scalar (imaginary part ~0 for Hermitian H)."""
+    with jax.default_matmul_precision("highest"):
+        N, chi, d, _ = As.shape
+        L = _boundary_left_sc(chi, vL)
+
+        def body(L, inputs):
+            A, W = inputs
+            return _update_left_sc(L, A, W), None
+
+        L, _ = jax.lax.scan(body, L, (As, Ws))
+        eyeR = jnp.eye(chi, dtype=As.dtype)
+        num = _sc.SC(jnp.einsum("awc,ac,w->", L.re, eyeR, vR),
+                     jnp.einsum("awc,ac,w->", L.im, eyeR, vR))
+
+        n0 = _sc.SC(eyeR, jnp.zeros_like(eyeR))
+
+        def nbody(nL, A):
+            out = _ncon([nL, A, _sc.conj(A)],
+                        [(1, 2), (1, 3, -1), (2, 3, -2)],
+                        con_order=(1, 3, 2), check_network=False, jit=False)
+            return out, None
+
+        nL, _ = jax.lax.scan(nbody, n0, As)
+        den = jnp.trace(nL.re)  # trace of a PSD Gram matrix is real
+        return _sc.SC(num.re / den, num.im / den)

@@ -372,3 +372,144 @@ def gmres(
         if float(rnorm) <= float(threshold):
             break
     return x.reshape(shape), 0
+
+
+# ---------------------------------------------------------------------------
+# Split-complex Lanczos: complex states on real-only TPU backends
+# (see ops/split_complex.py for the SC representation)
+# ---------------------------------------------------------------------------
+
+
+def lanczos_factorization_sc(
+    matvec: Callable,
+    v0,
+    num_krylov_vecs: int,
+    delta: float = 1e-8,
+):
+    """Lanczos factorization for a Hermitian operator acting on
+    split-complex states (``matvec: SC -> SC``).
+
+    Returns ``(V, alphas, betas)`` with ``V`` an SC of shape (m, n)
+    (orthonormal rows under the complex inner product), ``alphas`` (m,)
+    and ``betas`` (m-1,) the REAL tridiagonal coefficients (real by
+    Hermiticity; the imaginary parts are dropped after the projection).
+    Fully static shapes, jit/scan-safe.  Structure mirrors
+    :func:`lanczos_factorization`; the complex algebra is the reason the
+    basis updates are 2x/3x real matmuls.
+    """
+    from tensornetwork_tpu.ops import split_complex as sc
+
+    n = int(np.prod(v0.shape))
+    m = num_krylov_vecs
+    dtype = v0.dtype
+    vf = sc.SC(v0.re.reshape(-1), v0.im.reshape(-1))
+    nrm0 = sc.norm(vf)
+    safe0 = jnp.where(nrm0 > delta, nrm0, 1.0)
+    alive0_ok = nrm0 > delta
+    v = sc.SC(jnp.where(alive0_ok, vf.re / safe0, 0.0),
+              jnp.where(alive0_ok, vf.im / safe0, 0.0))
+
+    V0 = sc.SC(jnp.zeros((m, n), dtype).at[0].set(v.re),
+               jnp.zeros((m, n), dtype).at[0].set(v.im))
+    alphas0 = jnp.zeros((m,), dtype)
+    betas0 = jnp.zeros((max(m - 1, 1),), dtype)
+    LARGE = 1e10
+    dn_row = (((1,), (0,)), ((), ()))      # (m,n)x(n,) -> (m,)
+    dn_comb = (((0,), (0,)), ((), ()))     # (m,)x(m,n) -> (n,)
+
+    def body(j, carry):
+        V, alphas, betas, alive = carry
+        vj = sc.SC(V.re[j], V.im[j])
+        w = matvec(vj)
+        alpha = jnp.real(0.0) + (vj.re @ w.re + vj.im @ w.im)  # Re<vj|w>
+        w = sc.SC(w.re - alpha * vj.re, w.im - alpha * vj.im)
+        bprev = betas[jnp.maximum(j - 1, 0)] * jnp.where(j > 0, 1.0, 0.0)
+        vprev = sc.SC(V.re[jnp.maximum(j - 1, 0)],
+                      V.im[jnp.maximum(j - 1, 0)])
+        w = sc.SC(w.re - bprev * vprev.re, w.im - bprev * vprev.im)
+        # twice-is-enough classical Gram-Schmidt against all rows <= j,
+        # under the complex inner product: coeffs = conj(V) @ w
+        mask = (jnp.arange(m) <= j).astype(w.re.dtype)
+        for _ in range(2):
+            coeffs = sc.SC(
+                (V.re @ w.re + V.im @ w.im) * mask,
+                (V.re @ w.im - V.im @ w.re) * mask)
+            corr = sc.dot_general(coeffs, V, dn_comb)
+            w = sc.SC(w.re - corr.re, w.im - corr.im)
+        wnorm = sc.norm(w)
+        alphas = alphas.at[j].set(jnp.where(alive, alpha, LARGE))
+        alive_next = jnp.logical_and(alive, wnorm > delta)
+        betas = jnp.where(
+            j < m - 1,
+            betas.at[jnp.minimum(j, m - 2)].set(
+                jnp.where(alive_next, wnorm, 0.0)),
+            betas)
+        safe = jnp.where(wnorm > delta, wnorm, 1.0)
+        keep = jnp.logical_and(alive_next, wnorm > delta)
+        vnext = sc.SC(jnp.where(keep, w.re / safe, 0.0),
+                      jnp.where(keep, w.im / safe, 0.0))
+        V = sc.SC(jnp.where(j < m - 1, V.re.at[j + 1].set(vnext.re), V.re),
+                  jnp.where(j < m - 1, V.im.at[j + 1].set(vnext.im), V.im))
+        return (V, alphas, betas, alive_next)
+
+    V, alphas, betas, _ = jax.lax.fori_loop(
+        0, m, body, (V0, alphas0, betas0, jnp.asarray(True)))
+    return V, alphas, betas[: m - 1] if m > 1 else betas[:0]
+
+
+def expm_multiply_lanczos_sc(
+    matvec: Callable,
+    v,
+    coeff,
+    num_krylov_vecs: int = 20,
+    delta: float = 1e-8,
+):
+    """``exp(coeff * A) @ v`` for Hermitian ``A`` on split-complex states.
+
+    ``coeff`` may be a python complex (e.g. ``-1j * dt``), a real traced
+    scalar, or an ``SC`` scalar — the complex exponential of the
+    projected spectrum is evaluated as ``exp(cr*l) * (cos(ci*l) +
+    i sin(ci*l))`` in real arithmetic, so real-time MPS evolution runs on
+    TPU backends with no complex dtype support.  Split-complex analog of
+    :func:`expm_multiply_lanczos`."""
+    from tensornetwork_tpu.ops import split_complex as sc
+
+    shape = v.shape
+    m = min(num_krylov_vecs, int(np.prod(shape)))
+    mv = lambda x: _flatten_sc(matvec(_reshape_sc(x, shape)))
+    vf = _flatten_sc(v)
+    nrm = sc.norm(vf)
+    V, alphas, betas = lanczos_factorization_sc(mv, vf, m, delta)
+    alphas = jnp.where(jnp.abs(alphas) >= 1e9, alphas[0], alphas)
+    T = (jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1))
+    evals, evecs = jnp.linalg.eigh(T)
+    if isinstance(coeff, sc.SC):
+        cr, ci = coeff.re, coeff.im
+    elif isinstance(coeff, complex):
+        cr, ci = jnp.asarray(coeff.real, T.dtype), jnp.asarray(
+            coeff.imag, T.dtype)
+    else:
+        carr = jnp.asarray(coeff)
+        if jnp.iscomplexobj(carr):
+            cr, ci = jnp.real(carr), jnp.imag(carr)
+        else:
+            cr, ci = carr, jnp.zeros_like(carr)
+    amp = jnp.exp(cr * evals)
+    ph_re = amp * jnp.cos(ci * evals)
+    ph_im = amp * jnp.sin(ci * evals)
+    e1 = evecs[0, :]
+    small = sc.SC(evecs @ (ph_re * e1), evecs @ (ph_im * e1))
+    dn_comb = (((0,), (0,)), ((), ()))
+    out = sc.dot_general(small, V, dn_comb)
+    out = sc.SC(out.re * nrm, out.im * nrm)
+    return _reshape_sc(out, shape)
+
+
+def _flatten_sc(x):
+    from tensornetwork_tpu.ops.split_complex import SC
+    return SC(x.re.reshape(-1), x.im.reshape(-1))
+
+
+def _reshape_sc(x, shape):
+    from tensornetwork_tpu.ops.split_complex import SC
+    return SC(x.re.reshape(shape), x.im.reshape(shape))

@@ -371,32 +371,51 @@ def compile_plan(
 
 
 def execute_plan(plan: ContractionPlan, tensors: Sequence[Any]):
-    """Replay a plan on concrete (or traced) jax arrays."""
+    """Replay a plan on concrete (or traced) jax arrays.
+
+    Operands may also be :class:`~tensornetwork_tpu.ops.split_complex.SC`
+    split-complex tensors (in any mix with real arrays): every step then
+    lowers to real-arithmetic primitives (complex pairwise contractions
+    via 3-GEMM Karatsuba), which is how complex networks execute on
+    real-only TPU backends."""
+    from tensornetwork_tpu.ops import split_complex as sc
     cfg = get_config()
     dg_kwargs = cfg.dot_general_kwargs()
     slots: List[Any] = list(tensors)
     for op in plan.steps:
         if op.kind == "trace":
             t = slots[op.a]
-            for (ax1, ax2) in op.axes:
-                t = jnp.diagonal(t, axis1=ax1, axis2=ax2)
-            # sum all the trailing diagonal axes
             n = len(op.axes)
-            t = jnp.sum(t, axis=tuple(range(t.ndim - n, t.ndim)))
+            if isinstance(t, sc.SC):
+                for (ax1, ax2) in op.axes:
+                    t = sc.diagonal(t, ax1, ax2)
+                t = sc.sum_axes(t, tuple(range(t.ndim - n, t.ndim)))
+            else:
+                for (ax1, ax2) in op.axes:
+                    t = jnp.diagonal(t, axis1=ax1, axis2=ax2)
+                # sum all the trailing diagonal axes
+                t = jnp.sum(t, axis=tuple(range(t.ndim - n, t.ndim)))
             slots[op.a] = t
         elif op.kind == "sum":
-            slots[op.a] = jnp.sum(slots[op.a], axis=op.axes)
+            t = slots[op.a]
+            slots[op.a] = (sc.sum_axes(t, op.axes) if isinstance(t, sc.SC)
+                           else jnp.sum(t, axis=op.axes))
         elif op.kind == "pair":
             a, b = slots[op.a], slots[op.b]
             dimension_numbers = ((op.cont_a, op.cont_b),
                                  (op.batch_a, op.batch_b))
-            slots[op.a] = jax.lax.dot_general(
-                a, b, dimension_numbers=dimension_numbers, **dg_kwargs)
+            if isinstance(a, sc.SC) or isinstance(b, sc.SC):
+                slots[op.a] = sc.dot_general(
+                    a, b, dimension_numbers, **dg_kwargs)
+            else:
+                slots[op.a] = jax.lax.dot_general(
+                    a, b, dimension_numbers=dimension_numbers, **dg_kwargs)
             slots[op.b] = None
         elif op.kind == "final":
             t = slots[op.a]
             if op.perm != tuple(range(t.ndim)):
-                t = jnp.transpose(t, op.perm)
+                t = (sc.transpose(t, op.perm) if isinstance(t, sc.SC)
+                     else jnp.transpose(t, op.perm))
             return t
     raise AssertionError("plan had no final step")
 
@@ -433,13 +452,18 @@ def ncon(
     ``backend`` is accepted for signature parity and ignored (XLA is the
     execution layer; block-sparse operands are dispatched automatically).
     """
+    from tensornetwork_tpu.ops.split_complex import SC
     tensors = [t.tensor if hasattr(t, "tensor") and hasattr(t, "edges")
                else (t.array if hasattr(t, "array") else t)
                for t in tensors]
+
+    def _shape(t):
+        return tuple(t.shape) if isinstance(t, SC) else tuple(np.shape(t))
+
     structure, mapping = canonicalize_structure(network_structure)
     if isinstance(con_order, str):
         from tensornetwork_tpu.ops import paths
-        shapes = [tuple(np.shape(t)) for t in tensors]
+        shapes = [_shape(t) for t in tensors]
         con_order = paths.solve_con_order(structure, shapes, method=con_order)
     elif con_order is not None:
         con_order = [mapping.get(l, l) if isinstance(l, str) else int(l)
@@ -447,7 +471,7 @@ def ncon(
     if out_order is not None:
         out_order = [mapping.get(l, l) if isinstance(l, str) else int(l)
                      for l in out_order]
-    shapes = [tuple(np.shape(t)) for t in tensors]
+    shapes = [_shape(t) for t in tensors]
     if check_network:
         globals()["check_network"](structure, shapes, con_order, out_order)
     con_order_t = tuple(con_order) if con_order is not None else None
@@ -456,7 +480,7 @@ def ncon(
     if any(isinstance(t, BlockSparseTensor) for t in tensors):
         plan = _cached_plan(structure, con_order_t, out_order_t)
         return _execute_plan_blocksparse(plan, tensors)
-    tensors = [t if isinstance(t, jax.Array) else jnp.asarray(t)
+    tensors = [t if isinstance(t, (jax.Array, SC)) else jnp.asarray(t)
                for t in tensors]
     if jit:
         fn = _cached_jitted_executor(structure, con_order_t, out_order_t)

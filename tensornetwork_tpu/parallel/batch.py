@@ -22,31 +22,67 @@ from tensornetwork_tpu.parallel.mesh import batch_spec, make_mesh
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-@functools.partial(jax.jit, static_argnames=("num_krylov_vecs",))
-def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10):
+def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
+                           qr_impl=None, ritz_impl=None):
     """One-site DMRG sweep over a batch of MPS instances.
 
     ``As_batch``: (B, N, chi, d, chi); MPO shared across the batch.
     Returns a batched :class:`~tensornetwork_tpu.models.dmrg.SweepResult`.
+    ``qr_impl``/``ritz_impl`` as in
+    :func:`~tensornetwork_tpu.models.dmrg.one_site_sweep`, resolved here
+    (outside jit) so the compile cache keys on the chosen implementation.
     """
+    qr_impl = _dmrg.QR_IMPL if qr_impl is None else qr_impl
+    ritz_impl = _dmrg.RITZ_IMPL if ritz_impl is None else ritz_impl
+    return _batched_one_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
+                                 qr_impl, ritz_impl)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl"))
+def _batched_one_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
+                          qr_impl, ritz_impl):
     fn = lambda As: _dmrg.one_site_sweep(
-        As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs)
+        As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
+        qr_impl=qr_impl, ritz_impl=ritz_impl)
     return jax.vmap(fn)(As_batch)
 
 
-@functools.partial(jax.jit, static_argnames=("num_krylov_vecs",))
 def batched_one_site_sweep_multi_mpo(As_batch, Ws_batch, vL, vR,
-                                     num_krylov_vecs: int = 10):
+                                     num_krylov_vecs: int = 10,
+                                     qr_impl=None, ritz_impl=None):
     """Batch over both MPS instances and MPO realizations (disorder)."""
+    qr_impl = _dmrg.QR_IMPL if qr_impl is None else qr_impl
+    ritz_impl = _dmrg.RITZ_IMPL if ritz_impl is None else ritz_impl
+    return _batched_multi_mpo_jit(As_batch, Ws_batch, vL, vR,
+                                  num_krylov_vecs, qr_impl, ritz_impl)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl"))
+def _batched_multi_mpo_jit(As_batch, Ws_batch, vL, vR, num_krylov_vecs,
+                           qr_impl, ritz_impl):
     fn = lambda As, Ws: _dmrg.one_site_sweep(
-        As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs)
+        As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
+        qr_impl=qr_impl, ritz_impl=ritz_impl)
     return jax.vmap(fn)(As_batch, Ws_batch)
 
 
-@functools.partial(jax.jit, static_argnames=("num_krylov_vecs",))
-def batched_two_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10):
+def batched_two_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
+                           qr_impl=None, ritz_impl=None):
+    qr_impl = _dmrg.QR_IMPL if qr_impl is None else qr_impl
+    ritz_impl = _dmrg.RITZ_IMPL if ritz_impl is None else ritz_impl
+    return _batched_two_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
+                                 qr_impl, ritz_impl)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl"))
+def _batched_two_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
+                          qr_impl, ritz_impl):
     fn = lambda As: _dmrg.two_site_sweep(
-        As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs)
+        As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
+        qr_impl=qr_impl, ritz_impl=ritz_impl)
     return jax.vmap(fn)(As_batch)
 
 
