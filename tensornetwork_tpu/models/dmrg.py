@@ -83,15 +83,20 @@ def _cholqr2(m: Array) -> Tuple[Array, Array]:
     G = jnp.conj(m.swapaxes(-1, -2)) @ m
     # relative jitter keeps Cholesky finite on rank-deficient panels; the
     # spurious directions are gauge-null (same as Householder's arbitrary
-    # orthogonal completion) and the second pass restores orthogonality
+    # orthogonal completion) and the second pass restores orthogonality.
+    # Dtype-aware floor: 1e-6 is below f32 rounding on ill-conditioned
+    # Grams (observed NaNs in B=256 batched sweeps) — use ~1e3*eps.
+    eps = jnp.finfo(m.dtype).eps
+    jfac = jnp.maximum(1e3 * eps, 1e-6).astype(m.dtype)
     jit1 = (jnp.trace(G, axis1=-2, axis2=-1) / n)[..., None, None]
-    G = G + 1e-6 * jit1 * eye
+    G = G + jfac * jit1 * eye
     L = jnp.linalg.cholesky(G)
     q1 = jax.lax.linalg.triangular_solve(
         L, m.swapaxes(-1, -2), left_side=True, lower=True).swapaxes(-1, -2)
     G2 = jnp.conj(q1.swapaxes(-1, -2)) @ q1
+    jfac2 = jnp.maximum(10 * eps, 1e-12).astype(m.dtype)
     jit2 = (jnp.trace(G2, axis1=-2, axis2=-1) / n)[..., None, None]
-    G2 = G2 + 1e-12 * jit2 * eye
+    G2 = G2 + jfac2 * jit2 * eye
     L2 = jnp.linalg.cholesky(G2)
     q2 = jax.lax.linalg.triangular_solve(
         L2, q1.swapaxes(-1, -2), left_side=True, lower=True

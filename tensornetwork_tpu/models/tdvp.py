@@ -284,14 +284,19 @@ class TDVP:
     def step(self, dt, num_krylov_vecs: int = 20,
              imaginary: bool = False, two_site: bool = False) -> None:
         if self._sc:
-            if two_site or imaginary:
+            if imaginary:
                 raise NotImplementedError(
-                    "split-complex TDVP currently supports one-site "
-                    "real-time sweeps (imaginary time needs no complex "
-                    "dtype: run the plain real-dtype path)")
-            self.As = tdvp_one_site_sweep_sc(
-                self.As, self._Ws, self._vL, self._vR, dt,
-                num_krylov_vecs=num_krylov_vecs)
+                    "imaginary time needs no complex dtype: run the "
+                    "plain real-dtype path")
+            if two_site:
+                self.As, terr = tdvp_two_site_sweep_sc(
+                    self.As, self._Ws, self._vL, self._vR, dt,
+                    num_krylov_vecs=num_krylov_vecs)
+                self.truncation_errors.append(float(terr))
+            else:
+                self.As = tdvp_one_site_sweep_sc(
+                    self.As, self._Ws, self._vL, self._vR, dt,
+                    num_krylov_vecs=num_krylov_vecs)
             return
         if two_site:
             self.As, terr = tdvp_two_site_sweep(
@@ -534,3 +539,124 @@ def mps_mpo_expectation_sc(As, Ws, vL, vR):
         nL, _ = jax.lax.scan(nbody, n0, As)
         den = jnp.trace(nL.re)  # trace of a PSD Gram matrix is real
         return _sc.SC(num.re / den, num.im / den)
+
+
+def _matvec_2s_sc(L, W1, W2, R, x):
+    # csud <- awc,wmst,mvuz,atzb,bvd
+    return _ncon([L, W1, W2, x, R],
+                 [(1, 2, -1), (2, 3, -2, 4), (3, 5, -3, 6), (1, 4, 6, 7),
+                  (7, 5, -4)],
+                 con_order=(1, 2, 4, 3, 6, 7, 5), check_network=False,
+                 jit=False)
+
+
+@functools.partial(jax.jit, static_argnames=("num_krylov_vecs",))
+def tdvp_two_site_sweep_sc(
+    As, Ws: Array, vL: Array, vR: Array, dt,
+    num_krylov_vecs: int = 20,
+    boundary_envs=None,
+):
+    """One symmetric two-site real-time TDVP sweep on a split-complex
+    stack.  Semantics of :func:`tdvp_two_site_sweep` with a complex
+    dtype; bond truncation uses the split-complex masked SVD
+    (:func:`tensornetwork_tpu.ops.decompositions.svd_masked_sc`).
+    Returns ``(evolved SC stack, accumulated squared truncated weight)``."""
+    with jax.default_matmul_precision("highest"):
+        return _tdvp2_sweep_sc_impl(As, Ws, vL, vR, dt, num_krylov_vecs,
+                                    boundary_envs)
+
+
+def _tdvp2_sweep_sc_impl(As, Ws, vL, vR, dt, num_krylov_vecs,
+                         boundary_envs=None):
+    from tensornetwork_tpu.ops.decompositions import svd_masked_sc
+    N, chi, d, _ = As.shape
+    dt = jnp.asarray(dt)
+    zero = jnp.zeros_like(dt)
+    cf = _sc.SC(zero, -0.5 * dt)
+    cb_full = _sc.SC(zero, +0.5 * dt)
+    real_dtype = As.re.dtype
+
+    As, Renvs = right_canonicalize_and_envs_sc(
+        As, Ws, vL, vR,
+        R0=None if boundary_envs is None else boundary_envs[1])
+    L0 = (_boundary_left_sc(chi, vL) if boundary_envs is None
+          else boundary_envs[0])
+    R0 = (_boundary_right_sc(chi, vR) if boundary_envs is None
+          else boundary_envs[1])
+    bond_idx = jnp.arange(N - 1)
+    cb_lr = _sc.SC(jnp.zeros((N - 1,), dt.dtype),
+                   jnp.where(bond_idx < N - 2, cb_full.im, 0.0))
+    cb_rl = _sc.SC(jnp.zeros((N - 1,), dt.dtype),
+                   jnp.where(bond_idx > 0, cb_full.im, 0.0))
+
+    def sc_idx(stack, i):
+        return _sc.SC(stack.re[i], stack.im[i])
+
+    def body_lr(carry, inputs):
+        Lenv, AC, terr = carry
+        A_next, W1, W2, Renv, cb_i = inputs
+        theta = _ncon([AC, A_next], [(-1, -2, 1), (1, -3, -4)],
+                      check_network=False, jit=False)
+        theta = _renorm_sc(theta)
+        mv2 = lambda x: _matvec_2s_sc(Lenv, W1, W2, Renv, x)
+        theta = expm_multiply_lanczos_sc(mv2, theta, cf, num_krylov_vecs)
+        theta = _renorm_sc(theta)
+        res = svd_masked_sc(_sc.reshape(theta, (chi * d, d * chi)),
+                            max_singular_values=chi)
+        snrm = jnp.linalg.norm(res.s)
+        s = res.s / jnp.where(snrm > 0, snrm, 1.0)
+        AL = _sc.reshape(res.u, (chi, d, chi))
+        AC_next = _sc.reshape(
+            _sc.SC(s[:, None] * res.vh.re, s[:, None] * res.vh.im),
+            (chi, d, chi))
+        terr = terr + res.trunc_sq_norm.astype(real_dtype)
+        Lenv_new = _update_left_sc(Lenv, AL, W1)
+        mv1 = lambda x: _matvec_1s_sc(Lenv_new, W2, Renv, x)
+        AC_next = expm_multiply_lanczos_sc(mv1, AC_next, cb_i,
+                                           num_krylov_vecs)
+        AC_next = _renorm_sc(AC_next)
+        return (Lenv_new, AC_next, terr), (AL, Lenv)
+
+    As_tail = _sc.SC(As.re[1:], As.im[1:])
+    carry0 = (L0, sc_idx(As, 0), jnp.zeros((), real_dtype))
+    (Lenv_f, AC_last, terr_lr), (ALs, Lenvs) = jax.lax.scan(
+        body_lr, carry0, (As_tail, Ws[:-1], Ws[1:], Renvs_tail(Renvs),
+                          cb_lr))
+
+    def body_rl(carry, inputs):
+        Renv, AC, terr = carry
+        A_prev, W1, W2, Lenv, cb_i = inputs
+        theta = _ncon([A_prev, AC], [(-1, -2, 1), (1, -3, -4)],
+                      check_network=False, jit=False)
+        theta = _renorm_sc(theta)
+        mv2 = lambda x: _matvec_2s_sc(Lenv, W1, W2, Renv, x)
+        theta = expm_multiply_lanczos_sc(mv2, theta, cf, num_krylov_vecs)
+        theta = _renorm_sc(theta)
+        res = svd_masked_sc(_sc.reshape(theta, (chi * d, d * chi)),
+                            max_singular_values=chi)
+        snrm = jnp.linalg.norm(res.s)
+        s = res.s / jnp.where(snrm > 0, snrm, 1.0)
+        AR = _sc.reshape(res.vh, (chi, d, chi))
+        AC_prev = _sc.reshape(
+            _sc.SC(res.u.re * s[None, :], res.u.im * s[None, :]),
+            (chi, d, chi))
+        terr = terr + res.trunc_sq_norm.astype(real_dtype)
+        Renv_new = _update_right_sc(Renv, AR, W2)
+        mv1 = lambda x: _matvec_1s_sc(Lenv, W1, Renv_new, x)
+        AC_prev = expm_multiply_lanczos_sc(mv1, AC_prev, cb_i,
+                                           num_krylov_vecs)
+        AC_prev = _renorm_sc(AC_prev)
+        return (Renv_new, AC_prev, terr), AR
+
+    carry0 = (R0, AC_last, terr_lr)
+    (_, AC_first, terr), ARs = jax.lax.scan(
+        body_rl, carry0, (ALs, Ws[:-1], Ws[1:], Lenvs, cb_rl),
+        reverse=True)
+    out = _sc.SC(jnp.concatenate([AC_first.re[None], ARs.re], axis=0),
+                 jnp.concatenate([AC_first.im[None], ARs.im], axis=0))
+    return out, terr
+
+
+def Renvs_tail(Renvs):
+    """Drop the first entry of a stacked SC env (sites 1..N-1)."""
+    return _sc.SC(Renvs.re[1:], Renvs.im[1:])

@@ -191,3 +191,50 @@ def svd_masked(
     u_k = jnp.where(keep_mask[..., None, :], u_k, jnp.zeros_like(u_k))
     vh_k = jnp.where(keep_mask[..., :, None], vh_k, jnp.zeros_like(vh_k))
     return MaskedSVD(u_k, s_masked, vh_k, num_kept, trunc_sq)
+
+
+class MaskedSVDSC(NamedTuple):
+    """Split-complex analog of :class:`MaskedSVD` (``u``/``vh`` are SC)."""
+    u: object
+    s: jax.Array
+    vh: object
+    num_kept: jax.Array
+    trunc_sq_norm: jax.Array
+
+
+def svd_masked_sc(
+    matrix,
+    max_singular_values: int,
+    max_truncation_error: Optional[float] = None,
+    relative: bool = False,
+) -> MaskedSVDSC:
+    """Static-rank truncated SVD of a split-complex matrix — same
+    semantics as :func:`svd_masked` on complex input, executed entirely in
+    real arithmetic (see :func:`tensornetwork_tpu.ops.split_complex.svd`).
+    Unbatched ([m, n]) input."""
+    from tensornetwork_tpu.ops import split_complex as sc
+
+    u, s, vh = sc.svd(matrix)
+    n = s.shape[-1]
+    k = min(int(max_singular_values), n)
+    full_sq = jnp.sum(s**2, axis=-1)
+    u_k = sc.SC(u.re[..., :, :k], u.im[..., :, :k])
+    s_k = s[..., :k]
+    vh_k = sc.SC(vh.re[..., :k, :], vh.im[..., :k, :])
+    if max_truncation_error is not None:
+        err = jnp.asarray(max_truncation_error, dtype=s.dtype)
+        if relative:
+            err = err * s[..., 0]
+        tail_sq = jnp.cumsum((s**2)[..., ::-1], axis=-1)[..., ::-1]
+        keep_mask = (jnp.sqrt(tail_sq) > err[..., None])[..., :k]
+    else:
+        keep_mask = jnp.ones(s_k.shape, dtype=bool)
+    s_masked = jnp.where(keep_mask, s_k, jnp.zeros_like(s_k))
+    num_kept = jnp.sum(keep_mask, axis=-1).astype(jnp.int32)
+    trunc_sq = full_sq - jnp.sum(s_masked**2, axis=-1)
+    ucol = keep_mask[..., None, :]
+    vrow = keep_mask[..., :, None]
+    u_k = sc.SC(jnp.where(ucol, u_k.re, 0.0), jnp.where(ucol, u_k.im, 0.0))
+    vh_k = sc.SC(jnp.where(vrow, vh_k.re, 0.0),
+                 jnp.where(vrow, vh_k.im, 0.0))
+    return MaskedSVDSC(u_k, s_masked, vh_k, num_kept, trunc_sq)

@@ -307,3 +307,73 @@ def polar_complete(m: SC, quintic_iters: int = 20, cubic_iters: int = 10
         Q = SC(0.5 * Q.re, 0.5 * Q.im)
     P = matmul(adjoint(Q), m)
     return Q, P
+
+
+# ---------------------------------------------------------------------------
+# Spectral decompositions in split-complex arithmetic.
+#
+# Complex Hermitian eigh reduces to REAL symmetric eigh of the
+# realification G = [[Hr, -Hi], [Hi, Hr]]: if H v = l v with v = vr+i*vi
+# then G [vr; vi] = l [vr; vi] and G [-vi; vr] = l [-vi; vr], so the real
+# spectrum is the complex spectrum doubled, and ANY real eigenvector
+# x = [a; b] of a pair de-realifies to a complex eigenvector a + i*b
+# (a complex multiple of v — nonzero because |x| = 1).  This runs on TPU
+# backends with no complex support, using the well-optimized real eigh.
+# ---------------------------------------------------------------------------
+
+
+def _realify_hermitian(H: SC) -> Array:
+    top = jnp.concatenate([H.re, -H.im], axis=-1)
+    bot = jnp.concatenate([H.im, H.re], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def eigh(H: SC) -> Tuple[Array, SC]:
+    """Eigendecomposition of a Hermitian SC matrix: ``H = V diag(w) V†``.
+
+    Returns ``(w, V)`` with ``w`` real ascending (k,) and ``V`` an SC
+    (k, k) with orthonormal columns.  Implementation: real symmetric eigh
+    of the 2k x 2k realification (doubled spectrum), de-realify one
+    eigenvector per pair, re-orthonormalize with the completed polar
+    (guards near-degenerate pair mixing)."""
+    k = H.shape[-1]
+    G = _realify_hermitian(H)
+    w2, X = jnp.linalg.eigh(G)       # ascending, pairs adjacent
+    w = 0.5 * (w2[..., 0::2] + w2[..., 1::2])
+    Xsel = X[..., :, 0::2]
+    V = SC(Xsel[..., :k, :], Xsel[..., k:, :])
+    # columns are eigenvectors up to complex scale; orthonormalize (and
+    # complete in the pathological fully-mixed-degenerate case)
+    V, _ = polar_complete(V)
+    return w, V
+
+
+def svd(M: SC) -> Tuple[SC, Array, SC]:
+    """SVD of an SC matrix ``M = U diag(s) V†`` (full-matrices=False,
+    descending singular values).
+
+    Route: Hermitian eigh of M†M for (s^2, V) — real-arithmetic only —
+    then U from the completed polar of M V (= U diag(s) exactly), which
+    also supplies orthonormal U columns for zero singular values.
+    Note the squared condition number of the Gram route: singular values
+    below ~sqrt(eps)*s_max lose relative accuracy (fine for truncation
+    decisions; use f64 where spectra span more than ~7 digits in f32)."""
+    n, k = M.shape[-2], M.shape[-1]
+    if n < k:
+        # M = (M†)† = Vh_t† diag(s) U_t†
+        U_t, s, Vh_t = svd(adjoint(M))
+        return adjoint(Vh_t), s, adjoint(U_t)
+    H = matmul(adjoint(M), M)
+    w, V = eigh(H)
+    # descending
+    w = w[..., ::-1]
+    V = SC(V.re[..., :, ::-1], V.im[..., :, ::-1])
+    MV = matmul(M, V)                # = U diag(s)
+    U, _ = polar_complete(MV)
+    # refine s = Re diag(U† M V): u_i is the direction of M v_i, so this
+    # recovers |M v_i| at full (un-squared) precision — the eigh route
+    # alone returns sqrt(eigenvalues of M†M), which floors tiny singular
+    # values at ~sqrt(eps)*s_max
+    s = jnp.sum(U.re * MV.re + U.im * MV.im, axis=-2)
+    s = jnp.maximum(s, 0.0)
+    return U, s, adjoint(V)

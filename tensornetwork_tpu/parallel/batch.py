@@ -23,17 +23,23 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
-                           qr_impl=None, ritz_impl=None):
+                           qr_impl: str = "polar",
+                           ritz_impl: str = "power"):
     """One-site DMRG sweep over a batch of MPS instances.
 
     ``As_batch``: (B, N, chi, d, chi); MPO shared across the batch.
     Returns a batched :class:`~tensornetwork_tpu.models.dmrg.SweepResult`.
-    ``qr_impl``/``ritz_impl`` as in
-    :func:`~tensornetwork_tpu.models.dmrg.one_site_sweep`, resolved here
-    (outside jit) so the compile cache keys on the chosen implementation.
+
+    Unlike the single-instance sweep, the *batched* default is the
+    matmul-only pipeline (``qr_impl="polar"``, ``ritz_impl="power"``):
+    batched Householder QR and batched tiny eigh serialize on TPU, and
+    the measured difference is large (TPU v5e, TFI N=32: chi=64 B=256
+    353 vs 191 inst-sweeps/s; chi=128 B=64 106 vs 74).  Pass
+    ``qr_impl="householder", ritz_impl="eigh"`` for bit-parity with the
+    single-instance path.
+    qr_impl and ritz_impl are resolved at call time (outside jit), so the
+    compile cache keys on them.
     """
-    qr_impl = _dmrg.QR_IMPL if qr_impl is None else qr_impl
-    ritz_impl = _dmrg.RITZ_IMPL if ritz_impl is None else ritz_impl
     return _batched_one_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
                                  qr_impl, ritz_impl)
 
@@ -50,10 +56,10 @@ def _batched_one_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
 
 def batched_one_site_sweep_multi_mpo(As_batch, Ws_batch, vL, vR,
                                      num_krylov_vecs: int = 10,
-                                     qr_impl=None, ritz_impl=None):
-    """Batch over both MPS instances and MPO realizations (disorder)."""
-    qr_impl = _dmrg.QR_IMPL if qr_impl is None else qr_impl
-    ritz_impl = _dmrg.RITZ_IMPL if ritz_impl is None else ritz_impl
+                                     qr_impl: str = "polar",
+                                     ritz_impl: str = "power"):
+    """Batch over both MPS instances and MPO realizations (disorder).
+    Batched-default impls as in :func:`batched_one_site_sweep`."""
     return _batched_multi_mpo_jit(As_batch, Ws_batch, vL, vR,
                                   num_krylov_vecs, qr_impl, ritz_impl)
 
@@ -69,9 +75,10 @@ def _batched_multi_mpo_jit(As_batch, Ws_batch, vL, vR, num_krylov_vecs,
 
 
 def batched_two_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
-                           qr_impl=None, ritz_impl=None):
-    qr_impl = _dmrg.QR_IMPL if qr_impl is None else qr_impl
-    ritz_impl = _dmrg.RITZ_IMPL if ritz_impl is None else ritz_impl
+                           qr_impl: str = "polar",
+                           ritz_impl: str = "power"):
+    """Two-site batched sweep; batched-default impls as in
+    :func:`batched_one_site_sweep`."""
     return _batched_two_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
                                  qr_impl, ritz_impl)
 

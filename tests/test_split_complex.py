@@ -168,3 +168,79 @@ def test_sc_tdvp_real_time_matches_exact():
     fid = abs(np.vdot(vec / np.linalg.norm(vec),
                       psi_t / np.linalg.norm(psi_t)))
     assert fid > 1 - 1e-8
+
+
+def test_sc_svd_and_eigh(rng):
+    m = _rc(rng, 16, 8)
+    U, s, Vh = sc.svd(sc.from_complex(m))
+    Uc, Vhc = sc.to_complex(U), sc.to_complex(Vh)
+    s = np.asarray(s)
+    np.testing.assert_allclose((Uc * s[None, :]) @ Vhc, m, atol=1e-12)
+    np.testing.assert_allclose(Uc.conj().T @ Uc, np.eye(8), atol=1e-12)
+    np.testing.assert_allclose(s, np.linalg.svd(m, compute_uv=False),
+                               atol=1e-12)
+    # wide input
+    mw = _rc(rng, 6, 10)
+    U, s, Vh = sc.svd(sc.from_complex(mw))
+    np.testing.assert_allclose(
+        (sc.to_complex(U) * np.asarray(s)[None, :]) @ sc.to_complex(Vh),
+        mw, atol=1e-12)
+    # hermitian eigh
+    a = _rc(rng, 12, 12)
+    H = (a + a.conj().T) / 2
+    w, V = sc.eigh(sc.from_complex(H))
+    Vc = sc.to_complex(V)
+    np.testing.assert_allclose(H @ Vc, Vc * np.asarray(w)[None, :],
+                               atol=1e-10)
+
+
+def test_sc_two_site_sweep_matches_complex(rng):
+    from tensornetwork_tpu.models.tdvp import (
+        tdvp_two_site_sweep, tdvp_two_site_sweep_sc)
+    N, chi, d = 5, 6, 2
+    mpo = FiniteTFI(-1.0, -1.2, N=N)
+    Wc = mpo.Ws.astype(jnp.complex128)
+    A0 = _rc(rng, N, chi, d, chi)
+    dt = 0.02
+    out_c, terr_c = tdvp_two_site_sweep(
+        jnp.asarray(A0), Wc, mpo.vL.astype(jnp.complex128),
+        mpo.vR.astype(jnp.complex128), dt, num_krylov_vecs=15)
+    out_s, terr_s = tdvp_two_site_sweep_sc(
+        sc.SC(jnp.asarray(A0.real), jnp.asarray(A0.imag)),
+        mpo.Ws, mpo.vL, mpo.vR, dt, num_krylov_vecs=15)
+
+    def dense(As):
+        acc = np.asarray(As[0])
+        for i in range(1, N):
+            acc = np.einsum("a...b,bsc->a...sc", acc, np.asarray(As[i]))
+        return acc.reshape(chi, -1, chi)[0, :, 0]
+
+    vc = dense(np.asarray(out_c))
+    vs = dense(sc.to_complex(out_s))
+    fid = abs(np.vdot(vc / np.linalg.norm(vc), vs / np.linalg.norm(vs)))
+    assert fid > 1 - 1e-9
+    np.testing.assert_allclose(float(terr_s), float(terr_c), atol=1e-10)
+
+
+def test_sc_two_site_tdvp_real_time_matches_exact():
+    N, chi = 6, 8
+    mpo = FiniteTFI(-1.0, -1.2, N=N)
+    H = mpo_to_dense(mpo)
+    v = np.array([1.0, 0.6]) / np.linalg.norm([1.0, 0.6])
+    As_np = np.zeros((N, chi, 2, chi))
+    As_np[:, 0, :, 0] = v
+    tdvp = TDVP(jnp.asarray(As_np), mpo, split_complex=True)
+    t, steps = 0.5, 25
+    tdvp.evolve(t, steps, two_site=True)
+    psi0 = np.array([1.0])
+    for _ in range(N):
+        psi0 = np.kron(psi0, v)
+    psi_t = sla.expm(-1j * t * H) @ psi0.astype(np.complex128)
+    Ac = sc.to_complex(tdvp.As)
+    acc = Ac[0]
+    for i in range(1, N):
+        acc = np.einsum("a...b,bsc->a...sc", acc, Ac[i])
+    vec = acc.reshape(chi, -1, chi)[0, :, 0]
+    fid = abs(np.vdot(vec / np.linalg.norm(vec),
+                      psi_t / np.linalg.norm(psi_t)))
+    assert fid > 1 - 1e-8
