@@ -1,12 +1,10 @@
 """Pallas TPU kernels for the hot contraction paths.
 
 The batched one-site DMRG effective-hamiltonian matvec
-``y = L·W·x·R`` is the flop carrier of the compiled sweep.  XLA lowers it
-to per-instance batched GEMMs with tiny M/K/N (chi = 64-128), which run
-at ~1 TFLOP/s on a v5e; this kernel decomposes the matvec into
-``2·M·d`` chi×chi GEMMs per instance executed back-to-back in VMEM (no
-HBM roundtrips between stages), with the small MPO couplings applied as
-scalar-weighted accumulations from SMEM.
+``y = L·W·x·R`` is the flop carrier of the compiled sweep.  This kernel
+decomposes the matvec into ``2·M·d`` chi×chi GEMMs per instance executed
+back-to-back in VMEM (no HBM roundtrips between stages), with the small
+MPO couplings applied as scalar-weighted accumulations from SMEM.
 
 Index conventions match :mod:`tensornetwork_tpu.models.dmrg`:
   L[a, w, c]   W[w, v, s, t]   R[b, v, d]   x[a, t, b]  ->  y[c, s, d]
@@ -15,15 +13,21 @@ Per instance, for every (w, t):  P_wt = L_w^T @ x_t   (chi x chi GEMM)
 then for every (s, v):           Q_vs = sum_wt W[w,v,s,t] P_wt  (VPU)
 and                              y_s += Q_vs @ R_v    (chi x chi GEMM).
 
-Status (measured on TPU v5e, 2026-08-17): at chi=64 the contraction is
-*GEMM-shape bound*, not memory bound — XLA's batched einsum and this
-kernel both reach ~1.0-1.3 TFLOP/s because 64x64x64 GEMMs fill at most a
-quarter of the 128x128 MXU and per-GEMM overhead dominates.  The kernel
-is therefore NOT wired into the default DMRG path; it is kept (with
-interpret-mode tests) as the starting point for chi >= 128 tiles, where
-the same structure maps onto full MXU tiles.  Note also that the remote
-Mosaic toolchain in this environment miscompiles the fori_loop variant
-(correct under ``interpret=True``); prefer interpret mode for validation.
+Status (measured on TPU v5e, 2026-08-18, grid-per-instance variant):
+
+* Correctness: the kernel COMPILES CORRECTLY through the remote Mosaic
+  toolchain with the batch dimension mapped onto the *grid* (one program
+  per instance) — max rel err 1.7e-7 vs the f32-highest XLA oracle.  An
+  earlier variant that looped over instances with ``jax.lax.fori_loop``
+  inside one program miscompiled remotely (correct only under
+  ``interpret=True``); the grid structure dodges that path entirely.
+* Performance: parity with XLA's fused batched einsum across shapes
+  (chi=64 B=256: 2.5 vs 2.0 TF; chi=128 B=64: 5.2 vs 5.3; chi=256 B=16:
+  10.8 vs 9.9, default precision, dispatch-amortized).  These shapes are
+  GEMM-shape-bound, not memory bound, and XLA schedules them as well as
+  the hand-written pipeline — so the kernel is NOT wired into the
+  default DMRG path; it is kept as the substrate for future fused
+  multi-matvec (whole-Lanczos-step) experiments.
 """
 from __future__ import annotations
 
@@ -37,8 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def make_heff_matvec(chi: int, d: int, M: int, tile_b: int = 8,
-                     accum_dtype=jnp.float32, interpret: bool = False):
+def make_heff_matvec(chi: int, d: int, M: int, tile_b: int = 1,
+                     accum_dtype=jnp.float32, interpret: bool = False,
+                     precision=None):
     """Build the fused batched matvec for static (chi, d, M).
 
     Returns ``f(Lt, W, Rt, xt) -> y`` on kernel-layout operands (see
@@ -48,13 +53,20 @@ def make_heff_matvec(chi: int, d: int, M: int, tile_b: int = 8,
       Rt: (B, M, chi, chi)   [v, b, d]
       xt: (B, d, chi, chi)   [t, a, b]
       y:  (B, d, chi, chi)   [s, c, d]
+
+    The batch rides the Pallas grid (``tile_b`` instances per program;
+    default 1).  ``precision`` is forwarded to the in-kernel dots — pass
+    ``jax.lax.Precision.HIGHEST`` for f32-exact results (3-pass bf16
+    emulation, like the sweep's forced-highest einsums).
     """
 
     def kernel(W_ref, Lt_ref, Rt_ref, x_ref, y_ref):
-        def body(i, _):
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=accum_dtype)
+        for i in range(tile_b):
             # stage 1: P[w][t] = L_w^T(@c,a) . x_t(a,b)  -> (c, b)
-            P = [[jnp.dot(Lt_ref[i, w], x_ref[i, t],
-                          preferred_element_type=accum_dtype)
+            P = [[dot(Lt_ref[i, w], x_ref[i, t])
                   for t in range(d)] for w in range(M)]
             # stages 2+3: y_s = sum_v (sum_wt W[w,v,s,t] P[w][t]) @ R_v
             for s in range(d):
@@ -65,13 +77,9 @@ def make_heff_matvec(chi: int, d: int, M: int, tile_b: int = 8,
                         for t in range(d):
                             term = W_ref[w, v, s, t] * P[w][t]
                             Q = term if Q is None else Q + term
-                    contrib = jnp.dot(Q, Rt_ref[i, v],
-                                      preferred_element_type=accum_dtype)
+                    contrib = dot(Q, Rt_ref[i, v])
                     acc = contrib if acc is None else acc + contrib
                 y_ref[i, s] = acc.astype(y_ref.dtype)
-            return 0
-
-        jax.lax.fori_loop(0, x_ref.shape[0], body, 0)
 
     @jax.jit
     def f(Lt, W, Rt, xt):
