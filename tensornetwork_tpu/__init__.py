@@ -18,10 +18,10 @@ from tensornetwork_tpu.ops import krylov
 from tensornetwork_tpu.core.network import (
     AbstractNode, Node, CopyNode, Edge, NodeCollection,
     connect, disconnect, contract, contract_between, contract_parallel,
-    contract_copy_node, outer_product, flatten_edges,
-    flatten_edges_between, flatten_all_edges, split_edge, slice_edge,
-    get_all_edges, get_all_dangling, get_all_nondangling,
-    get_shared_edges, get_parallel_edges)
+    contract_copy_node, outer_product, outer_product_final_nodes,
+    flatten_edges, flatten_edges_between, flatten_all_edges, split_edge,
+    slice_edge, get_all_edges, get_all_dangling, get_all_nondangling,
+    get_neighbors, get_shared_edges, get_parallel_edges)
 from tensornetwork_tpu.core.operations import (
     copy, replicate_nodes, remove_node, reachable, check_correct,
     check_connected, get_subgraph_dangling, redirect_edge,
@@ -33,6 +33,11 @@ from tensornetwork_tpu import contractors
 # functional layer (reference ``tensor.py`` / ``linalg/``)
 from tensornetwork_tpu.core.tensor import Tensor, NconBuilder
 from tensornetwork_tpu.core import linalg
+from tensornetwork_tpu.core.linalg import (
+    tensordot, einsum, norm, kron, eigsh_lanczos, eigs, gmres)
+
+# split-complex engine: complex tensors on real-only TPU backends
+from tensornetwork_tpu.ops import split_complex
 
 # quantum operators (reference ``quantum/``)
 from tensornetwork_tpu import quantum

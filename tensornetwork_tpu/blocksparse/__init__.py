@@ -1,5 +1,6 @@
 from tensornetwork_tpu.blocksparse.charge import (
-    BaseCharge, U1Charge, Z2Charge, ZNCharge, fuse_charges, charge_equal)
+    BaseCharge, U1Charge, Z2Charge, ZNCharge, fuse_charges, charge_equal,
+    fuse_ndarrays, fuse_degeneracies)
 from tensornetwork_tpu.blocksparse.index import Index, fuse_index_pair
 from tensornetwork_tpu.blocksparse.tensor import (
     ChargeArray, BlockSparseTensor, tensordot, outerproduct, transpose,

@@ -283,3 +283,22 @@ def charge_equal(a: BaseCharge, b: BaseCharge) -> bool:
     """(reference ``charge.py:644``)"""
     return (a.num_symmetries == b.num_symmetries and a.dim == b.dim
             and np.array_equal(a.charges, b.charges))
+
+
+def fuse_ndarrays(arrays) -> np.ndarray:
+    """Fuse integer arrays by Kronecker addition, right-to-left
+    (reference ``block_sparse/utils.py:96``): the result enumerates
+    ``a[i0] + b[i1] + ...`` in row-major index order."""
+    if len(arrays) == 1:
+        return np.array(arrays[0])
+    fused = np.asarray(arrays[0])
+    for n in range(1, len(arrays)):
+        fused = np.ravel(np.add.outer(fused, arrays[n]))
+    return fused
+
+
+def fuse_degeneracies(degen1, degen2) -> np.ndarray:
+    """Fuse degeneracy vectors: multiplicities of the Kronecker-added
+    charges (reference ``block_sparse/utils.py:113``)."""
+    return np.ravel(np.multiply.outer(np.asarray(degen1),
+                                      np.asarray(degen2)))

@@ -848,3 +848,33 @@ def contract_between(
     if axis_names:
         node.axis_names = axis_names
     return node
+
+
+def get_neighbors(node: AbstractNode) -> List[AbstractNode]:
+    """All nodes directly connected to ``node`` (never includes ``node``
+    itself, even via trace edges).  Reference
+    ``network_operations.py:823``; insertion order, deduplicated."""
+    neighbors: List[AbstractNode] = []
+    seen = set()
+    for edge in node.edges:
+        if edge.is_dangling() or edge.is_trace():
+            continue
+        other = edge.node2 if edge.node1 is node else edge.node1
+        if id(other) not in seen:
+            neighbors.append(other)
+            seen.add(id(other))
+    return neighbors
+
+
+def outer_product_final_nodes(nodes, edge_order) -> AbstractNode:
+    """Outer product of fully-contracted remaining nodes, reordered to
+    ``edge_order`` (reference ``network_components.py:2098``)."""
+    nodes = list(nodes)
+    for node in nodes:
+        if node.has_nondangling_edge():
+            raise ValueError(
+                f"Node '{node}' has a non-dangling edge remaining.")
+    final_node = nodes[0]
+    for node in nodes[1:]:
+        final_node = outer_product(final_node, node)
+    return final_node.reorder_edges(edge_order)

@@ -302,3 +302,39 @@ def test_quantum_identity_elimination_after_composition(rng):
     np.testing.assert_allclose(np.asarray(composed.eval()), a, rtol=1e-10)
     # after contract(), the rank-2 copy nodes were spliced out
     assert not any(isinstance(n, tn.CopyNode) for n in composed.nodes)
+
+
+def test_get_neighbors():
+    # reference ``network_operations.py:823`` semantics: deduplicated,
+    # excludes self (even via trace edges)
+    import numpy as np
+    import tensornetwork_tpu as tn
+    a = tn.Node(np.ones((2, 2, 2, 2)), name="a")
+    b = tn.Node(np.ones((2, 2)), name="b")
+    c = tn.Node(np.ones((2,)), name="c")
+    a[0] ^ b[0]
+    a[1] ^ b[1]       # second edge to the same neighbor -> dedup
+    a[2] ^ a[3]       # trace edge -> ignored
+    b_neighbors = tn.get_neighbors(b)
+    assert b_neighbors == [a]
+    assert tn.get_neighbors(a) == [b]
+    assert tn.get_neighbors(c) == []
+
+
+def test_outer_product_final_nodes():
+    import numpy as np
+    import pytest
+    import tensornetwork_tpu as tn
+    a = tn.Node(np.random.default_rng(0).standard_normal((2, 3)))
+    b = tn.Node(np.random.default_rng(1).standard_normal((4,)))
+    out = tn.outer_product_final_nodes([a, b], a.edges + b.edges)
+    assert out.shape == (2, 3, 4)
+    np.testing.assert_allclose(
+        np.asarray(out.tensor),
+        np.einsum("ij,k->ijk", np.asarray(a.tensor), np.asarray(b.tensor)))
+    # non-dangling edge -> error
+    c = tn.Node(np.ones((2, 2)))
+    d = tn.Node(np.ones((2,)))
+    c[0] ^ d[0]
+    with pytest.raises(ValueError):
+        tn.outer_product_final_nodes([c], c.edges)
