@@ -11,3 +11,6 @@ from tensornetwork_tpu.blocksparse.initialization import (
     randn, zeros, ones, random, randn_like, empty_like)
 from tensornetwork_tpu.blocksparse.caching import (
     enable_caching, disable_caching, clear_cache, get_cacher)
+from tensornetwork_tpu.blocksparse.batched import (
+    canonical_bond_charges, uniform_skeleton_mps, random_data_batch,
+    contraction_plan, ShiftPlan)

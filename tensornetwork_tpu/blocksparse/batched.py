@@ -1,0 +1,268 @@
+"""Batched-realization execution for block-sparse U(1) tensors.
+
+The EP-analog axis of SURVEY §2.10: disorder realizations share one
+charge *skeleton* (identical charges/flows/layout per tensor), so their
+data vectors stack on a leading batch axis and every sector operation
+becomes a batched device op:
+
+* contractions: ``vmap`` of the compiled sector plan of
+  :mod:`tensornetwork_tpu.blocksparse.jax_engine` (gathers and GEMMs
+  pick up a batch dimension, which XLA folds into the batched GEMM).
+* gauge shifts: per-sector completed-polar factorizations
+  (:func:`tensornetwork_tpu.ops.decompositions.ns_polar_complete`)
+  executed as batched matmuls on gathered sector blocks — the
+  block-sparse analog of the dense batched sweep's polar pipeline.
+
+Static shapes everywhere: the skeleton's bond-charge multiplicities are
+constructed (:func:`canonical_bond_charges`) so that every matricization
+sector satisfies rows >= cols in the shift direction, making exact
+isometric gauge fixing possible without dynamic bond shrinking (the
+reference's block-sparse QR shrinks bonds per sector,
+reference ``block_sparse/linalg.py:300``; that is incompatible with one
+compiled program serving every realization and sweep).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensornetwork_tpu.blocksparse.charge import BaseCharge, U1Charge
+from tensornetwork_tpu.blocksparse.index import Index
+from tensornetwork_tpu.blocksparse.tensor import (
+    BlockSparseTensor, compute_num_nonzero, find_diagonal_blocks)
+from tensornetwork_tpu.blocksparse.initialization import zeros
+from tensornetwork_tpu.ops.decompositions import ns_polar_complete
+
+
+def canonical_bond_charges(N: int, chi: int, n_total: Optional[int] = None,
+                           width: int = 2) -> List[np.ndarray]:
+    """Bond-charge multiplicity profile admitting exact static-shape
+    canonicalization in BOTH sweep directions.
+
+    Returns ``N+1`` sorted charge vectors (bond 0..N), bond k holding at
+    most ``chi`` charges near ``n_total*k/N``, satisfying for every
+    charge q and physical charges {0, 1}:
+
+      (R)  m_k(q) + m_k(q-1) >= m_{k+1}(q)   (right-shift sectors tall)
+      (L)  m_{k+1}(q) + m_{k+1}(q+1) >= m_k(q)  (left-shift sectors wide)
+
+    enforced by alternating forward/backward capping passes (monotone,
+    converges).  Boundary bonds are {0} and {n_total}.
+    """
+    if n_total is None:
+        n_total = N // 2
+    # target multiplicity tables: window around the mean filling
+    mult: List[Dict[int, int]] = [{0: 1}]
+    for k in range(1, N):
+        mean = n_total * k / N
+        lo = max(int(np.floor(mean)) - width, max(0, n_total - (N - k)))
+        hi = min(int(np.ceil(mean)) + width, min(k, n_total))
+        qs = list(range(lo, hi + 1))
+        if not qs:
+            qs = [max(0, min(int(round(mean)), n_total))]
+        base = max(chi // len(qs), 1)
+        tab = {q: base for q in qs}
+        # distribute the remainder to the central charges
+        rem = chi - base * len(qs)
+        center = sorted(qs, key=lambda q: abs(q - mean))
+        for q in center[:max(rem, 0)]:
+            tab[q] += 1
+        mult.append(tab)
+    mult.append({n_total: 1})
+
+    def cap_forward():
+        changed = False
+        for k in range(N):
+            for q in list(mult[k + 1]):
+                limit = mult[k].get(q, 0) + mult[k].get(q - 1, 0)
+                if mult[k + 1][q] > limit:
+                    mult[k + 1][q] = limit
+                    changed = True
+            mult[k + 1] = {q: m for q, m in mult[k + 1].items() if m > 0}
+        return changed
+
+    def cap_backward():
+        changed = False
+        for k in range(N - 1, -1, -1):
+            for q in list(mult[k]):
+                limit = mult[k + 1].get(q, 0) + mult[k + 1].get(q + 1, 0)
+                if mult[k][q] > limit:
+                    mult[k][q] = limit
+                    changed = True
+            mult[k] = {q: m for q, m in mult[k].items() if m > 0}
+        return changed
+
+    for _ in range(4 * N):
+        c1 = cap_forward()
+        c2 = cap_backward()
+        if not (c1 or c2):
+            break
+    for k, tab in enumerate(mult):
+        if not tab:
+            raise ValueError(
+                f"bond {k} has no admissible charges for chi={chi}, "
+                f"N={N}, n_total={n_total}")
+    return [np.sort(np.concatenate([[q] * m for q, m in sorted(t.items())])
+                    ).astype(np.int64) for t in mult]
+
+
+def uniform_skeleton_mps(N: int, chi: int, n_total: Optional[int] = None,
+                         dtype=np.float32) -> List[BlockSparseTensor]:
+    """Zero-data skeleton MPS with :func:`canonical_bond_charges` bonds.
+    Legs (l[False], s[False], r[True]); physical charge n in {0, 1}."""
+    bonds = canonical_bond_charges(N, chi, n_total)
+    phys = U1Charge(np.array([0, 1]))
+    out = []
+    for k in range(N):
+        idx = [Index(U1Charge(bonds[k]), False), Index(phys, False),
+               Index(U1Charge(bonds[k + 1]), True)]
+        out.append(zeros(idx, dtype=dtype))
+    return out
+
+
+def random_data_batch(skeleton: Sequence[BlockSparseTensor], B: int,
+                      seed: int = 0) -> List[jax.Array]:
+    """(B, nnz_i) random normal data stacks for each skeleton tensor."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for t in skeleton:
+        n = t.data.shape[0]
+        out.append(jnp.asarray(
+            rng.standard_normal((B, n)) / np.sqrt(max(n, 1)),
+            t.data.dtype))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batched sector gauge shifts
+# ---------------------------------------------------------------------------
+
+
+def _matricization_meta(t: BlockSparseTensor, partition: int):
+    """(sector charges, block position maps, block shapes) of the
+    (rows=[:p], cols=[p:]) matricization of a natural-order skeleton."""
+    if [list(g) for g in t._order] != [[i] for i in range(t.ndim)]:
+        raise ValueError("skeleton must be in natural order")
+    return find_diagonal_blocks(list(t.flat_charges), list(t.flat_flows),
+                                partition)
+
+
+def _bond_matrix_skeleton(bond: BaseCharge, dtype) -> BlockSparseTensor:
+    """Square bond matrix skeleton with legs (bond[False], bond[True])."""
+    return zeros([Index(bond.copy(), False), Index(bond.copy(), True)],
+                 dtype=dtype)
+
+
+def _sector_label_map(charges: BaseCharge) -> Dict[Tuple, int]:
+    arr = np.asarray(charges.charges).reshape(len(charges), -1)
+    return {tuple(int(v) for v in arr[i]): i for i in range(len(charges))}
+
+
+class ShiftPlan:
+    """Host-compiled plan for a batched sector polar shift of one site."""
+
+    def __init__(self, skel: BlockSparseTensor, direction: str):
+        if direction not in ("right", "left"):
+            raise ValueError(direction)
+        self.direction = direction
+        partition = 2 if direction == "right" else 1
+        sec, maps, shapes = _matricization_meta(skel, partition)
+        bond_leg = 2 if direction == "right" else 0
+        bond = skel.flat_charges[bond_leg]
+        self.bond_skel = _bond_matrix_skeleton(bond, skel.dtype)
+        bsec, bmaps, bshapes = _matricization_meta(self.bond_skel, 1)
+        bmap_by_charge = _sector_label_map(bsec)
+        smap_by_charge = _sector_label_map(sec)
+        self.blocks = []
+        seen_bond = set()
+        for i in range(len(sec)):
+            q = tuple(int(v) for v in
+                      np.asarray(sec.charges).reshape(len(sec), -1)[i])
+            j = bmap_by_charge.get(q)
+            if j is None:
+                raise ValueError(
+                    f"matricization sector {q} missing on the bond — "
+                    "skeleton violates the canonical profile")
+            nr, nc = shapes[i]
+            bnr, bnc = bshapes[j]
+            k = nc if direction == "right" else nr
+            if bnr != k or bnc != k:
+                raise ValueError("bond sector shape mismatch")
+            if direction == "right" and nr < nc:
+                raise ValueError(
+                    f"sector {q}: rows {nr} < cols {nc} — right shift "
+                    "not isometric; use canonical_bond_charges")
+            if direction == "left" and nc < nr:
+                raise ValueError(
+                    f"sector {q}: cols {nc} < rows {nr} — left shift "
+                    "not isometric; use canonical_bond_charges")
+            self.blocks.append(dict(
+                map=jnp.asarray(maps[i]), shape=(nr, nc),
+                bond_map=jnp.asarray(bmaps[j])))
+            seen_bond.add(j)
+        # bond sectors never produced (no matching matricization sector)
+        # keep identity so absorbing the factor is well-defined
+        self.identity_bond = [
+            (jnp.asarray(bmaps[j]), bshapes[j])
+            for j in range(len(bsec)) if j not in seen_bond]
+        self.nnz = skel.data.shape[0]
+        self.bond_nnz = self.bond_skel.data.shape[0]
+
+    def __call__(self, data: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """data (..., nnz) -> (Q data (..., nnz), bond data (..., bond_nnz)).
+
+        right: A = Q·P (Q col-isometric);  left: A = P·Q (Q row-isometric).
+        """
+        batch_shape = data.shape[:-1]
+        qd = jnp.zeros(batch_shape + (self.nnz,), data.dtype)
+        pd = jnp.zeros(batch_shape + (self.bond_nnz,), data.dtype)
+        for b in self.blocks:
+            blk = data[..., b["map"]]                 # (..., nr, nc)
+            if self.direction == "right":
+                Q, P = ns_polar_complete(blk)
+            else:
+                Qt, Pt = ns_polar_complete(
+                    jnp.swapaxes(blk, -1, -2))
+                Q = jnp.swapaxes(Qt, -1, -2)
+                P = jnp.swapaxes(Pt, -1, -2)
+            qd = qd.at[..., b["map"]].set(Q)
+            pd = pd.at[..., b["bond_map"]].set(P)
+        for bmap, (k, _) in self.identity_bond:
+            eye = jnp.broadcast_to(jnp.eye(k, dtype=data.dtype),
+                                   batch_shape + (k, k))
+            pd = pd.at[..., bmap].set(eye)
+        return qd, pd
+
+
+# ---------------------------------------------------------------------------
+# Batched contraction on a shared skeleton
+# ---------------------------------------------------------------------------
+
+
+def _skel_of_plan_out(plan) -> BlockSparseTensor:
+    o = plan["out"]
+    t = BlockSparseTensor.__new__(BlockSparseTensor)
+    t.data = np.zeros(o["nnz"], np.float32)
+    t._charges = [c.copy() for c in o["charges"]]
+    t._flows = list(o["flows"])
+    t._order = [list(g) for g in o["order"]]
+    return t
+
+
+def contraction_plan(skel1: BlockSparseTensor, skel2: BlockSparseTensor,
+                     axes, precision: str = "highest"):
+    """(single-instance run fn, output skeleton) for a fixed structure.
+    The run fn maps flat data vectors -> flat data vector and is
+    jax-traceable, so it may be vmapped/jitted freely."""
+    from tensornetwork_tpu.blocksparse import jax_engine as JE
+    if isinstance(axes, int):
+        axes1 = list(range(skel1.ndim - axes, skel1.ndim))
+        axes2 = list(range(axes))
+    else:
+        axes1, axes2 = [list(a) for a in axes]
+    plan = JE._get_plan(skel1, skel2, axes1, axes2, precision)
+    return plan["run"], (None if plan["scalar"]
+                         else _skel_of_plan_out(plan))

@@ -8,3 +8,7 @@ from tensornetwork_tpu.models import mera, tebd
 from tensornetwork_tpu.models.vumps import (
     VUMPSState, VUMPSResult, vumps, vumps_iteration, correlation_length)
 from tensornetwork_tpu.models.tdvp import TDVP, tdvp_one_site_sweep
+from tensornetwork_tpu.models.symmetric_dmrg import (
+    SymmetricFiniteDMRG, u1_xxz_mpo, half_filled_mps)
+from tensornetwork_tpu.models.symmetric_dmrg_batched import (
+    BatchedSymmetricDMRG)

@@ -1,0 +1,269 @@
+"""Batched-realization U(1) DMRG: many instances, one compiled sweep.
+
+The chi=1024 x 1k-disorder-realizations configuration (SURVEY §7.7,
+BASELINE.md) executed the TPU way: every realization shares one charge
+skeleton (:func:`tensornetwork_tpu.blocksparse.batched.uniform_skeleton_mps`),
+so the whole per-site step — Lanczos local solve, completed-polar gauge
+shift, bond-factor absorption, environment growth — runs on-device as
+batched sector GEMMs, vmapped over the realization axis.  One jitted
+program per (site, direction) serves every realization and sweep.
+
+The reference has no batched symmetric execution at all: realizations
+run serially through python sector loops
+(reference ``block_sparse/blocksparsetensor.py:1094``, per-instance
+scipy Lanczos ``backends/symmetric/symmetric_backend.py:291``).
+
+MPO disorder: pass ``mpos`` as a list of per-realization MPO tensor
+lists with IDENTICAL charge structure (e.g. different couplings in the
+XXZ W-tensors); their data stacks on the batch axis like the MPS data.
+A single shared MPO is broadcast.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensornetwork_tpu.blocksparse.batched import (
+    ShiftPlan, contraction_plan, random_data_batch, uniform_skeleton_mps)
+from tensornetwork_tpu.blocksparse.charge import U1Charge
+from tensornetwork_tpu.blocksparse.index import Index
+from tensornetwork_tpu.blocksparse.initialization import zeros
+from tensornetwork_tpu.blocksparse.tensor import BlockSparseTensor, tensordot
+from tensornetwork_tpu.ops import krylov
+
+Array = jax.Array
+
+
+def _trivial_skel(flow: bool, dtype) -> BlockSparseTensor:
+    return zeros([Index(U1Charge(np.array([0])), flow)], dtype=dtype)
+
+
+def _boundary_left_skel(dtype) -> BlockSparseTensor:
+    t = zeros([Index(U1Charge(np.array([0])), True),
+               Index(U1Charge(np.array([0])), True),
+               Index(U1Charge(np.array([0])), False)], dtype=dtype)
+    return t
+
+
+def _boundary_right_skel(last_bond, dtype) -> BlockSparseTensor:
+    return zeros([Index(last_bond.copy(), False),
+                  Index(U1Charge(np.array([0])), False),
+                  Index(last_bond.copy(), True)], dtype=dtype)
+
+
+class _SiteProgram:
+    """Compiled per-(site, direction) batched step."""
+
+    def __init__(self, A_skel, A_next_skel, W_skel, L_skel, R_skel,
+                 direction: str, num_krylov_vecs: int, ritz_method: str):
+        self.direction = direction
+        self.m = num_krylov_vecs
+        # matvec chain plans (single instance; vmapped by the jit below)
+        self.mv1, t1 = contraction_plan(L_skel, A_skel, [[0], [0]])
+        self.mv2, t2 = contraction_plan(t1, W_skel, [[0, 2], [0, 3]])
+        self.mv3, y_skel = contraction_plan(t2, R_skel, [[1, 2], [0, 1]])
+        if y_skel.data.shape != A_skel.data.shape:
+            raise AssertionError("matvec output layout mismatch")
+        self.shift = ShiftPlan(A_skel, direction)
+        bond_skel = self.shift.bond_skel
+        if direction == "right":
+            # absorb P into the next site from the left: P·A_next
+            self.absorb, abs_out = contraction_plan(
+                bond_skel, A_next_skel, [[1], [0]])
+            # grow the left environment with the isometric Q
+            self.g1, e1 = contraction_plan(L_skel, A_skel, [[0], [0]])
+            self.g2, e2 = contraction_plan(e1, W_skel, [[0, 2], [0, 3]])
+            # conj flips all flows (metadata-only for real data; layout
+            # is invariant under a global flow flip)
+            self.g3, self.env_out_skel = contraction_plan(
+                e2, A_skel.conj(), [[0, 3], [0, 1]])
+        else:
+            # absorb P into the previous site from the right: A_prev·P
+            self.absorb, abs_out = contraction_plan(
+                A_next_skel, bond_skel, [[2], [0]])
+            self.g1, e1 = contraction_plan(A_skel, R_skel, [[2], [0]])
+            self.g2, e2 = contraction_plan(e1, W_skel, [[1, 2], [3, 1]])
+            self.g3, self.env_out_skel = contraction_plan(
+                e2, A_skel.conj(), [[1, 3], [2, 1]])
+        if abs_out.data.shape != A_next_skel.data.shape:
+            raise AssertionError("absorb output layout mismatch")
+        ritz = ritz_method
+
+        @jax.jit
+        def step(dA, dA_next, dW, dL, dR):
+            def solve(da, dw, dl, dr):
+                mv = lambda x: self.mv3(self.mv2(self.mv1(dl, x), dw), dr)
+                evals, evecs = krylov.eigsh_lanczos(
+                    mv, da, num_krylov_vecs=self.m, numeig=1,
+                    ritz_method=ritz)
+                return evals[0], evecs[0]
+
+            es, vs = jax.vmap(solve)(dA, dW, dL, dR)
+            qd, pd = self.shift(vs)
+            if direction == "right":
+                dA_next2 = jax.vmap(self.absorb)(pd, dA_next)
+            else:
+                dA_next2 = jax.vmap(self.absorb)(dA_next, pd)
+            nrm = jnp.linalg.norm(dA_next2, axis=-1, keepdims=True)
+            dA_next2 = dA_next2 / jnp.where(nrm > 0, nrm, 1.0)
+
+            def grow(dq, dw, denv):
+                if direction == "right":
+                    return self.g3(self.g2(self.g1(denv, dq), dw), dq)
+                return self.g3(self.g2(self.g1(dq, denv), dw), dq)
+
+            denv_new = jax.vmap(grow)(qd, dW, dL if direction == "right"
+                                      else dR)
+            return es, qd, dA_next2, denv_new
+
+        self._step = step
+
+    def __call__(self, dA, dA_next, dW, dL, dR):
+        return self._step(dA, dA_next, dW, dL, dR)
+
+
+class BatchedSymmetricDMRG:
+    """One-site DMRG over a batch of U(1) realizations on one device.
+
+    Parameters
+    ----------
+    skeleton:   list of N skeleton tensors (shared charge structure),
+                e.g. from :func:`uniform_skeleton_mps`.
+    data:       list of N (B, nnz_i) data stacks.
+    mpo:        list of N BlockSparseTensor MPO tensors (legs
+                wl, wr, s_out, s_in as in
+                :func:`tensornetwork_tpu.models.symmetric_dmrg.u1_xxz_mpo`).
+    mpo_data:   optional list of N (B, nnz_w) stacks for per-realization
+                MPO disorder (same charge structure); default broadcasts
+                the shared MPO data.
+    """
+
+    def __init__(self, skeleton: Sequence[BlockSparseTensor],
+                 data: Sequence[Array],
+                 mpo: Sequence[BlockSparseTensor],
+                 mpo_data: Optional[Sequence[Array]] = None,
+                 num_krylov_vecs: int = 10,
+                 ritz_method: str = "power"):
+        if len(skeleton) != len(mpo):
+            raise ValueError("MPS and MPO must have equal length")
+        self.skeleton = list(skeleton)
+        self.data = list(data)
+        self.mpo = list(mpo)
+        self.N = len(skeleton)
+        self.B = int(data[0].shape[0])
+        self.m = num_krylov_vecs
+        self.ritz = ritz_method
+        if mpo_data is None:
+            mpo_data = [jnp.broadcast_to(jnp.asarray(w.data),
+                                         (self.B,) + w.data.shape)
+                        for w in mpo]
+        self.mpo_data = list(mpo_data)
+        dtype = skeleton[0].dtype
+        self._Lskel: List[BlockSparseTensor] = [None] * (self.N + 1)
+        self._Rskel: List[BlockSparseTensor] = [None] * (self.N + 1)
+        self._Lskel[0] = _boundary_left_skel(dtype)
+        self._Rskel[self.N] = _boundary_right_skel(
+            skeleton[-1].flat_charges[-1], dtype)
+        # environment skeletons via the host numpy engine on zero data
+        from tensornetwork_tpu.models.symmetric_dmrg import (
+            _add_left, _add_right)
+        for k in range(self.N):
+            self._Lskel[k + 1] = _add_left(self._Lskel[k], skeleton[k],
+                                           mpo[k])
+        for k in range(self.N - 1, -1, -1):
+            self._Rskel[k] = _add_right(self._Rskel[k + 1], skeleton[k],
+                                        mpo[k])
+        self._programs: Dict[Tuple[int, str], _SiteProgram] = {}
+        self._canon_programs: Dict[int, Tuple] = {}
+        self.energies: List[np.ndarray] = []
+
+    # -- initial right-canonicalization + right environments ---------------
+    def _canon_program(self, site: int):
+        if site not in self._canon_programs:
+            A_skel = self.skeleton[site]
+            A_prev_skel = self.skeleton[site - 1]
+            shift = ShiftPlan(A_skel, "left")
+            absorb, abs_out = contraction_plan(
+                A_prev_skel, shift.bond_skel, [[2], [0]])
+            if abs_out.data.shape != A_prev_skel.data.shape:
+                raise AssertionError("canon absorb layout mismatch")
+            g1, e1 = contraction_plan(A_skel, self._Rskel[site + 1],
+                                      [[2], [0]])
+            g2, e2 = contraction_plan(e1, self.mpo[site], [[1, 2], [3, 1]])
+            g3, env_out = contraction_plan(e2, A_skel.conj(),
+                                           [[1, 3], [2, 1]])
+
+            @jax.jit
+            def run(dA, dA_prev, dW, dR):
+                qd, pd = shift(dA)
+                dA_prev2 = jax.vmap(absorb)(dA_prev, pd)
+                nrm = jnp.linalg.norm(dA_prev2, axis=-1, keepdims=True)
+                dA_prev2 = dA_prev2 / jnp.where(nrm > 0, nrm, 1.0)
+
+                def grow(dq, dw, dr):
+                    return g3(g2(g1(dq, dr), dw), dq)
+
+                dR_new = jax.vmap(grow)(qd, dW, dR)
+                return qd, dA_prev2, dR_new
+
+            self._canon_programs[site] = run
+        return self._canon_programs[site]
+
+    def _program(self, site: int, direction: str) -> _SiteProgram:
+        key = (site, direction)
+        if key not in self._programs:
+            nxt = site + 1 if direction == "right" else site - 1
+            self._programs[key] = _SiteProgram(
+                self.skeleton[site], self.skeleton[nxt], self.mpo[site],
+                self._Lskel[site], self._Rskel[site + 1], direction,
+                self.m, self.ritz)
+        return self._programs[key]
+
+    def run_one_site(self, num_sweeps: int = 4, tol: float = 1e-10,
+                     verbose: int = 0) -> np.ndarray:
+        """Returns the per-realization energies (B,) of the last sweep."""
+        # right-canonicalize and build right envs
+        Rdata: List[Array] = [None] * (self.N + 1)
+        Rdata[self.N] = jnp.ones((self.B, 1), self.data[0].dtype)
+        for site in range(self.N - 1, 0, -1):
+            run = self._canon_program(site)
+            qd, prev2, rnew = run(self.data[site], self.data[site - 1],
+                                  self.mpo_data[site], Rdata[site + 1])
+            self.data[site] = qd
+            self.data[site - 1] = prev2
+            Rdata[site] = rnew
+        e_prev = None
+        es = None
+        for sweep in range(num_sweeps):
+            Ldata: List[Array] = [None] * (self.N + 1)
+            Ldata[0] = jnp.ones((self.B, 1), self.data[0].dtype)
+            for site in range(self.N - 1):
+                prog = self._program(site, "right")
+                es, qd, nxt, lnew = prog(
+                    self.data[site], self.data[site + 1],
+                    self.mpo_data[site], Ldata[site], Rdata[site + 1])
+                self.data[site] = qd
+                self.data[site + 1] = nxt
+                Ldata[site + 1] = lnew
+            for site in range(self.N - 1, 0, -1):
+                prog = self._program(site, "left")
+                es, qd, prv, rnew = prog(
+                    self.data[site], self.data[site - 1],
+                    self.mpo_data[site], Ldata[site], Rdata[site + 1])
+                self.data[site] = qd
+                self.data[site - 1] = prv
+                Rdata[site] = rnew
+            es = np.asarray(jax.device_get(es))
+            self.energies.append(es)
+            if verbose:
+                print(f"sweep {sweep}: E mean {es.mean():.10f} "
+                      f"span [{es.min():.8f}, {es.max():.8f}]")
+            e_mean = float(es.mean())
+            if e_prev is not None and abs(e_mean - e_prev) < tol:
+                break
+            e_prev = e_mean
+        return es

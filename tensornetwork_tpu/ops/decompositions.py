@@ -238,3 +238,51 @@ def svd_masked_sc(
     vh_k = sc.SC(jnp.where(vrow, vh_k.re, 0.0),
                  jnp.where(vrow, vh_k.im, 0.0))
     return MaskedSVDSC(u_k, s_masked, vh_k, num_kept, trunc_sq)
+
+
+def ns_polar_complete(m: jax.Array, quintic_iters: int = 20,
+                      cubic_iters: int = 10) -> Tuple[jax.Array, jax.Array]:
+    """Matmul-only polar split ``m = Q @ P`` with a FULL isometry Q
+    (Q^T Q = I) for real (optionally batched [..., n, k], n >= k)
+    matrices — including exactly rank-deficient input, where plain
+    Newton-Schulz leaves null columns at zero.
+
+    Real-arithmetic twin of
+    :func:`tensornetwork_tpu.ops.split_complex.polar_complete` (same
+    hybrid quintic/cubic schedule, smoothstep-sharpened defect projector,
+    deterministic coordinate-basis completion, cubic polish).  This is the
+    QR replacement for batched gauge shifts on TPU, where Householder QR
+    serializes.
+    """
+    n, k = m.shape[-2], m.shape[-1]
+    if n < k:
+        raise ValueError(f"need n >= k, got {m.shape}")
+    dt = m.dtype
+    eye = jnp.eye(k, dtype=dt)
+
+    def ns(x):
+        nrm = jnp.sqrt(jnp.sum(x * x, axis=(-2, -1), keepdims=True))
+        X = x / jnp.where(nrm > 0, nrm * 1.01, 1.0)
+        a, b, c = 3.4445, -4.7750, 2.0315
+        for _ in range(quintic_iters):
+            G = jnp.swapaxes(X, -1, -2) @ X
+            X = a * X + X @ (b * G + c * (G @ G))
+        for _ in range(cubic_iters):
+            G = jnp.swapaxes(X, -1, -2) @ X
+            X = 0.5 * X @ (3.0 * eye - G)
+        return X
+
+    X = ns(m)
+    D = eye - jnp.swapaxes(X, -1, -2) @ X
+    for _ in range(25):  # smoothstep: eigenvalues -> {0, 1}
+        D2 = D @ D
+        D = 3.0 * D2 - 2.0 * (D2 @ D)
+    E = jnp.broadcast_to(jnp.eye(n, k, dtype=dt), m.shape)
+    Y = E - X @ (jnp.swapaxes(X, -1, -2) @ E)
+    Z = ns(Y @ D) @ D
+    Q = X + Z
+    for _ in range(4):  # cubic polish; span(Q) preserved
+        G = jnp.swapaxes(Q, -1, -2) @ Q
+        Q = 0.5 * Q @ (3.0 * eye - G)
+    P = jnp.swapaxes(Q, -1, -2) @ m
+    return Q, P
