@@ -147,7 +147,8 @@ class BatchedSymmetricDMRG:
                  mpo: Sequence[BlockSparseTensor],
                  mpo_data: Optional[Sequence[Array]] = None,
                  num_krylov_vecs: int = 10,
-                 ritz_method: str = "power"):
+                 ritz_method: str = "power",
+                 mesh=None, batch_axis: str = "data"):
         if len(skeleton) != len(mpo):
             raise ValueError("MPS and MPO must have equal length")
         self.skeleton = list(skeleton)
@@ -162,6 +163,17 @@ class BatchedSymmetricDMRG:
                                          (self.B,) + w.data.shape)
                         for w in mpo]
         self.mpo_data = list(mpo_data)
+        # data parallelism over realizations: shard the batch axis of
+        # every data stack across the mesh; the sweep contains no
+        # cross-instance term, so XLA inserts no collectives at all
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._batch_sharding = NamedSharding(mesh, P(batch_axis, None))
+            self.data = [jax.device_put(d, self._batch_sharding)
+                         for d in self.data]
+            self.mpo_data = [jax.device_put(d, self._batch_sharding)
+                             for d in self.mpo_data]
         dtype = skeleton[0].dtype
         self._Lskel: List[BlockSparseTensor] = [None] * (self.N + 1)
         self._Rskel: List[BlockSparseTensor] = [None] * (self.N + 1)
@@ -229,6 +241,9 @@ class BatchedSymmetricDMRG:
         # right-canonicalize and build right envs
         Rdata: List[Array] = [None] * (self.N + 1)
         Rdata[self.N] = jnp.ones((self.B, 1), self.data[0].dtype)
+        if self._batch_sharding is not None:
+            Rdata[self.N] = jax.device_put(Rdata[self.N],
+                                           self._batch_sharding)
         for site in range(self.N - 1, 0, -1):
             run = self._canon_program(site)
             qd, prev2, rnew = run(self.data[site], self.data[site - 1],
@@ -241,6 +256,8 @@ class BatchedSymmetricDMRG:
         for sweep in range(num_sweeps):
             Ldata: List[Array] = [None] * (self.N + 1)
             Ldata[0] = jnp.ones((self.B, 1), self.data[0].dtype)
+            if self._batch_sharding is not None:
+                Ldata[0] = jax.device_put(Ldata[0], self._batch_sharding)
             for site in range(self.N - 1):
                 prog = self._program(site, "right")
                 es, qd, nxt, lnew = prog(

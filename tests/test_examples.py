@@ -82,3 +82,14 @@ def test_path_solvers_example():
     ns = _load("examples/path_solvers.py")
     cost = ns["main"]()
     assert cost > 0
+
+
+def test_disorder_study_example():
+    import importlib.util, pathlib
+    path = pathlib.Path(__file__).parent.parent / "examples" / "disorder_study.py"
+    spec = importlib.util.spec_from_file_location("disorder_study", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    es = mod.main(N=6, chi=10, B=3, num_sweeps=3, verbose=0)
+    assert es.shape == (3,)
+    assert np.all(np.isfinite(es))

@@ -128,3 +128,23 @@ def test_batched_dmrg_power_ritz_agrees():
                               num_krylov_vecs=20, ritz_method="power")
     e2 = d2.run_one_site(num_sweeps=5)
     np.testing.assert_allclose(e1, e2, rtol=1e-7)
+
+
+def test_batched_dmrg_sharded_mesh():
+    # data-parallel realizations over the virtual 8-device CPU mesh
+    from tensornetwork_tpu.parallel.mesh import make_mesh
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh((len(jax.devices()),), ("data",))
+    N, chi, B = 6, 10, 8
+    skel = uniform_skeleton_mps(N, chi, dtype=np.float64)
+    data = random_data_batch(skel, B, seed=6)
+    mpo = u1_xxz_mpo(1.0, 1.0, 0.0, N)
+    d_ref = BatchedSymmetricDMRG(skel, [d for d in data], mpo,
+                                 num_krylov_vecs=16, ritz_method="eigh")
+    e_ref = d_ref.run_one_site(num_sweeps=4)
+    d_sh = BatchedSymmetricDMRG(skel, [d for d in data], mpo,
+                                num_krylov_vecs=16, ritz_method="eigh",
+                                mesh=mesh)
+    e_sh = d_sh.run_one_site(num_sweeps=4)
+    np.testing.assert_allclose(e_sh, e_ref, rtol=1e-10)
