@@ -8,7 +8,8 @@ operator algebra, tensor-network NN layers, and multi-chip sharding.
 """
 from tensornetwork_tpu.config import (
     Config, config_context, get_config, set_default_backend,
-    get_default_backend, DefaultBackend)
+    get_default_backend, DefaultBackend,
+    enable_persistent_compilation_cache)
 from tensornetwork_tpu.ops.ncon import ncon, finalize
 from tensornetwork_tpu.ops.decompositions import (
     svd, qr, rq, eigh, svd_masked, MaskedSVD)

@@ -111,3 +111,22 @@ class DefaultBackend:
     def __exit__(self, *a):
         global _DEFAULT_BACKEND
         _DEFAULT_BACKEND = self._prev
+
+
+def enable_persistent_compilation_cache(path: str = "/tmp/tn_tpu_xla_cache",
+                                        min_compile_time_secs: float = 1.0
+                                        ) -> None:
+    """Turn on jax's on-disk compilation cache.
+
+    Large block-sparse programs (e.g. the batched symmetric DMRG at
+    chi=1024: ~45 per-site programs, ~457 s first-sweep compile) are
+    recompiled per process without this; with it, repeat runs of the same
+    configuration start in seconds.  Safe to call multiple times.
+    """
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_time_secs)
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
