@@ -266,3 +266,85 @@ def contraction_plan(skel1: BlockSparseTensor, skel2: BlockSparseTensor,
     plan = JE._get_plan(skel1, skel2, axes1, axes2, precision)
     return plan["run"], (None if plan["scalar"]
                          else _skel_of_plan_out(plan))
+
+
+class TwoSiteSplitPlan:
+    """Batched sector-SVD split of a two-site block back onto the fixed
+    bond profile.
+
+    theta legs (l, s, t, r) with the new bond between (l,s) and (t,r);
+    for each bond sector q the kept rank is exactly the bond's
+    multiplicity m(q) (static) — per-sector truncation instead of the
+    reference's global cross-sector singular-value sort (reference
+    ``symmetric/decompositions.py:70-120``); with the canonical profile
+    both row and column multiplicities dominate m(q), so shapes never
+    shrink.  Returns left data (A_i layout), right data (A_{i+1} layout)
+    and the summed squared discarded weight.
+    """
+
+    def __init__(self, theta_skel: BlockSparseTensor,
+                 left_skel: BlockSparseTensor,
+                 right_skel: BlockSparseTensor):
+        sec, maps, shapes = _matricization_meta(theta_skel, 2)
+        lsec, lmaps, lshapes = _matricization_meta(left_skel, 2)
+        rsec, rmaps, rshapes = _matricization_meta(right_skel, 1)
+        lmap_q = _sector_label_map(lsec)
+        rmap_q = _sector_label_map(rsec)
+        qarr = np.asarray(sec.charges).reshape(len(sec), -1)
+        self.blocks = []
+        for i in range(len(sec)):
+            q = tuple(int(v) for v in qarr[i])
+            li, ri = lmap_q.get(q), rmap_q.get(q)
+            if li is None or ri is None:
+                # bond does not carry this fused charge: the whole sector
+                # is discarded weight
+                self.blocks.append(dict(
+                    map=jnp.asarray(maps[i]), shape=shapes[i], keep=0,
+                    lmap=None, rmap=None))
+                continue
+            nr, nc = shapes[i]
+            k = lshapes[li][1]
+            if lshapes[li][0] != nr or rshapes[ri][1] != nc \
+                    or rshapes[ri][0] != k:
+                raise ValueError(f"sector {q}: inconsistent block shapes")
+            if k > min(nr, nc):
+                raise ValueError(
+                    f"sector {q}: bond multiplicity {k} exceeds "
+                    f"min(rows, cols) = {min(nr, nc)}")
+            self.blocks.append(dict(
+                map=jnp.asarray(maps[i]), shape=(nr, nc), keep=k,
+                lmap=jnp.asarray(lmaps[li]), rmap=jnp.asarray(rmaps[ri])))
+        self.left_nnz = left_skel.data.shape[0]
+        self.right_nnz = right_skel.data.shape[0]
+
+    def __call__(self, theta: jax.Array, absorb: str
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """theta (..., nnz) -> (left data, right data, trunc_sq).
+
+        ``absorb='right'``: left factor U isometric, right = S·Vh
+        (left-to-right sweep); ``absorb='left'``: right factor Vh
+        isometric, left = U·S."""
+        batch_shape = theta.shape[:-1]
+        ld = jnp.zeros(batch_shape + (self.left_nnz,), theta.dtype)
+        rd = jnp.zeros(batch_shape + (self.right_nnz,), theta.dtype)
+        terr = jnp.zeros(batch_shape, theta.dtype)
+        for b in self.blocks:
+            blk = theta[..., b["map"]]
+            if b["keep"] == 0:
+                terr = terr + jnp.sum(blk * blk, axis=(-2, -1))
+                continue
+            k = b["keep"]
+            U, S, Vh = jnp.linalg.svd(blk, full_matrices=False)
+            Uk = U[..., :, :k]
+            Sk = S[..., :k]
+            Vk = Vh[..., :k, :]
+            terr = terr + jnp.sum(S[..., k:] ** 2, axis=-1)
+            if absorb == "right":
+                lblk = Uk
+                rblk = Sk[..., :, None] * Vk
+            else:
+                lblk = Uk * Sk[..., None, :]
+                rblk = Vk
+            ld = ld.at[..., b["lmap"]].set(lblk)
+            rd = rd.at[..., b["rmap"]].set(rblk)
+        return ld, rd, terr

@@ -284,3 +284,145 @@ class BatchedSymmetricDMRG:
                 break
             e_prev = e_mean
         return es
+
+
+class _BondProgram:
+    """Compiled per-(bond, direction) batched two-site step."""
+
+    def __init__(self, A_skel, B_skel, W1_skel, W2_skel, L_skel, R_skel,
+                 direction: str, num_krylov_vecs: int, ritz_method: str):
+        from tensornetwork_tpu.blocksparse.batched import TwoSiteSplitPlan
+        self.direction = direction
+        self.m = num_krylov_vecs
+        self.theta, theta_skel = contraction_plan(A_skel, B_skel,
+                                                  [[2], [0]])
+        # two-site effective-H matvec chain on theta (l, s, t, r)
+        self.mv1, t1 = contraction_plan(L_skel, theta_skel, [[0], [0]])
+        self.mv2, t2 = contraction_plan(t1, W1_skel, [[0, 2], [0, 3]])
+        self.mv3, t3 = contraction_plan(t2, W2_skel, [[3, 1], [0, 3]])
+        self.mv4, y_skel = contraction_plan(t3, R_skel, [[1, 3], [0, 1]])
+        if y_skel.data.shape != theta_skel.data.shape:
+            raise AssertionError("2s matvec output layout mismatch")
+        self.split = TwoSiteSplitPlan(theta_skel, A_skel, B_skel)
+        if direction == "right":
+            self.g1, e1 = contraction_plan(L_skel, A_skel, [[0], [0]])
+            self.g2, e2 = contraction_plan(e1, W1_skel, [[0, 2], [0, 3]])
+            self.g3, _ = contraction_plan(e2, A_skel.conj(),
+                                          [[0, 3], [0, 1]])
+        else:
+            self.g1, e1 = contraction_plan(B_skel, R_skel, [[2], [0]])
+            self.g2, e2 = contraction_plan(e1, W2_skel, [[1, 2], [3, 1]])
+            self.g3, _ = contraction_plan(e2, B_skel.conj(),
+                                          [[1, 3], [2, 1]])
+        ritz = ritz_method
+        absorb = "right" if direction == "right" else "left"
+
+        @jax.jit
+        def step(dA, dB, dW1, dW2, dL, dR):
+            def solve(da, db, dw1, dw2, dl, dr):
+                th0 = self.theta(da, db)
+                mv = lambda x: self.mv4(
+                    self.mv3(self.mv2(self.mv1(dl, x), dw1), dw2), dr)
+                evals, evecs = krylov.eigsh_lanczos(
+                    mv, th0, num_krylov_vecs=self.m, numeig=1,
+                    ritz_method=ritz)
+                return evals[0], evecs[0]
+
+            es, ths = jax.vmap(solve)(dA, dB, dW1, dW2, dL, dR)
+            ld, rd, terr = self.split(ths, absorb)
+
+            def grow(dq, dw, denv):
+                if direction == "right":
+                    return self.g3(self.g2(self.g1(denv, dq), dw), dq)
+                return self.g3(self.g2(self.g1(dq, denv), dw), dq)
+
+            if direction == "right":
+                denv_new = jax.vmap(grow)(ld, dW1, dL)
+            else:
+                denv_new = jax.vmap(grow)(rd, dW2, dR)
+            return es, ld, rd, terr, denv_new
+
+        self._step = step
+
+    def __call__(self, dA, dB, dW1, dW2, dL, dR):
+        return self._step(dA, dB, dW1, dW2, dL, dR)
+
+
+def _install_two_site(cls):
+    def _bond_program(self, bond: int, direction: str):
+        key = ("2s", bond, direction)
+        if key not in self._programs:
+            self._programs[key] = _BondProgram(
+                self.skeleton[bond], self.skeleton[bond + 1],
+                self.mpo[bond], self.mpo[bond + 1],
+                self._Lskel[bond], self._Rskel[bond + 2], direction,
+                self.m, self.ritz)
+        return self._programs[key]
+
+    def run_two_site(self, num_sweeps: int = 4, tol: float = 1e-10,
+                     verbose: int = 0):
+        """Two-site batched sweep: sector SVD truncation back onto the
+        fixed bond profile (per-sector static ranks).  Returns the
+        per-realization energies (B,) of the last sweep; accumulated
+        squared discarded weights in ``self.truncation_errors``."""
+        Rdata = [None] * (self.N + 1)
+        Rdata[self.N] = jnp.ones((self.B, 1), self.data[0].dtype)
+        if self._batch_sharding is not None:
+            Rdata[self.N] = jax.device_put(Rdata[self.N],
+                                           self._batch_sharding)
+        for site in range(self.N - 1, 0, -1):
+            run = self._canon_program(site)
+            qd, prev2, rnew = run(self.data[site], self.data[site - 1],
+                                  self.mpo_data[site], Rdata[site + 1])
+            self.data[site] = qd
+            self.data[site - 1] = prev2
+            Rdata[site] = rnew
+        e_prev = None
+        es = None
+        if not hasattr(self, "truncation_errors"):
+            self.truncation_errors = []
+        for sweep in range(num_sweeps):
+            terr_total = jnp.zeros((self.B,), self.data[0].dtype)
+            Ldata = [None] * (self.N + 1)
+            Ldata[0] = jnp.ones((self.B, 1), self.data[0].dtype)
+            if self._batch_sharding is not None:
+                Ldata[0] = jax.device_put(Ldata[0], self._batch_sharding)
+            for bond in range(self.N - 1):
+                prog = self._bond_program(bond, "right")
+                es, ld, rd, terr, lnew = prog(
+                    self.data[bond], self.data[bond + 1],
+                    self.mpo_data[bond], self.mpo_data[bond + 1],
+                    Ldata[bond], Rdata[bond + 2])
+                self.data[bond] = ld
+                self.data[bond + 1] = rd
+                Ldata[bond + 1] = lnew
+                terr_total = terr_total + terr
+            for bond in range(self.N - 2, -1, -1):
+                prog = self._bond_program(bond, "left")
+                es, ld, rd, terr, rnew = prog(
+                    self.data[bond], self.data[bond + 1],
+                    self.mpo_data[bond], self.mpo_data[bond + 1],
+                    Ldata[bond], Rdata[bond + 2])
+                self.data[bond] = ld
+                self.data[bond + 1] = rd
+                Rdata[bond + 1] = rnew
+                terr_total = terr_total + terr
+            es = np.asarray(jax.device_get(es))
+            self.energies.append(es)
+            self.truncation_errors.append(
+                np.asarray(jax.device_get(terr_total)))
+            if verbose:
+                print(f"2s sweep {sweep}: E mean {es.mean():.10f} "
+                      f"terr mean {float(terr_total.mean()):.3e}")
+            e_mean = float(es.mean())
+            if e_prev is not None and abs(e_mean - e_prev) < tol:
+                break
+            e_prev = e_mean
+        return es
+
+    cls._bond_program = _bond_program
+    cls.run_two_site = run_two_site
+    return cls
+
+
+_install_two_site(BatchedSymmetricDMRG)

@@ -148,3 +148,37 @@ def test_batched_dmrg_sharded_mesh():
                                 mesh=mesh)
     e_sh = d_sh.run_one_site(num_sweeps=4)
     np.testing.assert_allclose(e_sh, e_ref, rtol=1e-10)
+
+
+def test_batched_two_site_converges_to_sector_exact():
+    # two-site batched sweep vs sector-projected exact diagonalization:
+    # with a generous profile (chi >= sector dims) truncation is exact
+    from tests.test_symmetric_dmrg import sector_ground_energy
+    N, chi, B = 6, 16, 2
+    skel = uniform_skeleton_mps(N, chi, dtype=np.float64)
+    data = random_data_batch(skel, B, seed=7)
+    mpo = u1_xxz_mpo(1.0, 1.0, 0.1, N)
+    dmrg = BatchedSymmetricDMRG(skel, data, mpo, num_krylov_vecs=20,
+                                ritz_method="eigh")
+    es = dmrg.run_two_site(num_sweeps=6)
+    exact = sector_ground_energy(N, 1.0, 1.0, 0.1, N // 2)
+    np.testing.assert_allclose(es, np.full(B, exact), rtol=1e-7)
+    terr = dmrg.truncation_errors[-1]
+    assert np.all(terr < 1e-8)
+
+
+def test_batched_two_site_truncates_with_tight_profile():
+    # a tight profile forces per-sector truncation; energies stay
+    # variational (above exact) and truncation weights are recorded
+    from tests.test_symmetric_dmrg import sector_ground_energy
+    N, chi, B = 8, 8, 2
+    skel = uniform_skeleton_mps(N, chi, dtype=np.float64)
+    data = random_data_batch(skel, B, seed=8)
+    mpo = u1_xxz_mpo(1.0, 1.0, 0.0, N)
+    dmrg = BatchedSymmetricDMRG(skel, data, mpo, num_krylov_vecs=16,
+                                ritz_method="eigh")
+    es = dmrg.run_two_site(num_sweeps=5)
+    exact = sector_ground_energy(N, 1.0, 1.0, 0.0, N // 2)
+    assert np.all(es >= exact - 1e-9)
+    assert np.all(np.isfinite(dmrg.truncation_errors[-1]))
+    np.testing.assert_allclose(es, np.full(B, exact), rtol=2e-2)
