@@ -374,3 +374,90 @@ def tfi_exact_energy_density(J: float, h: float, nk: int = 20001) -> float:
     eps = 2.0 * np.sqrt(1.0 + g * g - 2.0 * g * np.cos(k))
     trapezoid = getattr(np, "trapezoid", np.trapz)
     return -abs(J) * trapezoid(eps, k) / (4.0 * np.pi)
+
+
+# ---------------------------------------------------------------------------
+# iTDVP: real/imaginary-time evolution of uniform MPS in the thermodynamic
+# limit (Vanderstraeten, Haegeman, Verstraete, SciPost Lect. Notes 7 (2019),
+# alg. 5 — see PAPERS.md).  One step reuses the VUMPS environment solves
+# and replaces the two eigensolves by Lanczos exponentials: AC and C both
+# evolve forward under their (regularized) effective Hamiltonians, and the
+# new gauge is extracted with the polar splits.  The reference library has
+# no infinite-system time evolution at all.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "lams", "num_krylov_vecs", "gmres_m", "gmres_restarts", "n_power",
+    "imaginary"))
+def itdvp_step(state: VUMPSState, W: Array, lams: Tuple[float, ...], dt,
+               num_krylov_vecs: int = 25, gmres_m: int = 30,
+               gmres_restarts: int = 2, n_power: int = 10,
+               imaginary: bool = False):
+    """One iTDVP step of size ``dt``: returns
+    ``(new_state, energy_density, gauge_error)``.
+
+    ``imaginary=True`` evolves ``exp(-H dt)`` (infinite-system
+    ground-state projection); otherwise ``exp(-i H dt)`` (``state``
+    should be complex).  The energy density returned is evaluated from
+    the environment solves *before* the step (i.e. of the input state).
+    """
+    from tensornetwork_tpu.ops.krylov import expm_multiply_lanczos
+    with jax.default_matmul_precision("highest"):
+        AL, AR, C, AC = state
+        r0 = C @ jnp.conj(C.T)
+        r0 = r0 / jnp.trace(r0)
+        r = _fixed_point_right(AL, r0, n_power)
+        l0 = C.T @ jnp.conj(C)
+        l0 = l0 / jnp.trace(l0)
+        l = _fixed_point_left(AR, l0, n_power)
+        LW, eL = left_mpo_environment(AL, W, r, lams, jnp.zeros_like(C),
+                                      gmres_m, gmres_restarts)
+        RW, eR = right_mpo_environment(AR, W, l, lams, jnp.zeros_like(C),
+                                       gmres_m, gmres_restarts)
+        coeff = jnp.asarray(-dt if imaginary else -1j * dt)
+        mv_ac = lambda x: _matvec_AC(LW, W, RW, x)
+        AC_new = expm_multiply_lanczos(mv_ac, AC, coeff, num_krylov_vecs)
+        AC_new = AC_new / jnp.linalg.norm(AC_new)
+        mv_c = lambda x: _matvec_C(LW, RW, x)
+        C_new = expm_multiply_lanczos(mv_c, C, coeff, num_krylov_vecs)
+        C_new = C_new / jnp.linalg.norm(C_new)
+        AL_new, AR_new, err = _polar_split(AC_new, C_new)
+        energy = 0.5 * jnp.real(eL + eR)
+        return (VUMPSState(AL_new, AR_new, C_new, AC_new), energy, err)
+
+
+def itdvp(state: VUMPSState, W, t: float, num_steps: int,
+          lams: Optional[Tuple[float, ...]] = None,
+          num_krylov_vecs: int = 25, imaginary: bool = False,
+          observable=None):
+    """Evolve a uniform MPS by total time ``t`` in ``num_steps`` iTDVP
+    steps.  Returns ``(final state, energy trace, observable trace)``;
+    ``observable(state) -> scalar`` is evaluated after every step."""
+    W = jnp.asarray(W)
+    if lams is None:
+        lams = mpo_diagonal_coefficients(W)
+    dt = t / num_steps
+    energies, obs = [], []
+    for _ in range(num_steps):
+        state, e, err = itdvp_step(state, W, lams, dt,
+                                   num_krylov_vecs=num_krylov_vecs,
+                                   imaginary=imaginary)
+        energies.append(float(jnp.real(e)))
+        if observable is not None:
+            obs.append(observable(state))
+    return state, energies, obs
+
+
+def uniform_expectation_1site(state: VUMPSState, op,
+                              n_power: int = 40) -> complex:
+    """<op> per site of a uniform MPS in mixed canonical form:
+    tr(conj(AC) op AC r-weighted) — with AC normalized and the identity
+    environments of the mixed gauge, this is
+    einsum('asb,st,atb->', conj(AC), op, AC)."""
+    AC = state.AC
+    op = jnp.asarray(op, AC.dtype)
+    val = jnp.einsum("asb,st,atb->", jnp.conj(AC), op, AC,
+                     optimize="auto")
+    nrm = jnp.einsum("asb,asb->", jnp.conj(AC), AC, optimize="auto")
+    return complex(val / nrm)

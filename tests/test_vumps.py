@@ -83,3 +83,50 @@ def test_diag_coefficient_validation():
     W[1, 1] = np.array([[1.0, 0.5], [0.0, 1.0]])  # not ~ identity
     with pytest.raises(ValueError):
         mpo_diagonal_coefficients(W)
+
+
+def test_itdvp_ground_state_stationary():
+    # real-time iTDVP on the VUMPS ground state: energy and local
+    # observables stay put (tangent-space projector annihilates the GS)
+    import importlib
+    V = importlib.import_module("tensornetwork_tpu.models.vumps")
+    W = np.asarray(mpo_lib.FiniteTFI(-1.0, -1.0, N=3).Ws)[1]
+    res = V.vumps(W, chi=12, num_iterations=50)
+    st = V.VUMPSState(*(jnp.asarray(x, jnp.complex128) for x in res.state))
+    Z = np.diag([1.0, -1.0])
+    m0 = V.uniform_expectation_1site(st, Z).real
+    st2, es, obs = V.itdvp(
+        st, W, t=0.3, num_steps=6,
+        observable=lambda s: V.uniform_expectation_1site(s, Z).real)
+    assert max(abs(np.array(es) - es[0])) < 1e-6
+    assert max(abs(np.array(obs) - m0)) < 1e-3
+
+
+def test_itdvp_quench_conserves_new_energy():
+    # evolve the h=1 ground state under h=1.5: E w.r.t. the NEW
+    # Hamiltonian is a constant of motion; <Z> shows real dynamics
+    import importlib
+    V = importlib.import_module("tensornetwork_tpu.models.vumps")
+    W1 = np.asarray(mpo_lib.FiniteTFI(-1.0, -1.0, N=3).Ws)[1]
+    W2 = np.asarray(mpo_lib.FiniteTFI(-1.0, -1.5, N=3).Ws)[1]
+    res = V.vumps(W1, chi=12, num_iterations=50)
+    st = V.VUMPSState(*(jnp.asarray(x, jnp.complex128) for x in res.state))
+    Z = np.diag([1.0, -1.0])
+    st2, es, obs = V.itdvp(
+        st, W2, t=0.3, num_steps=15,
+        observable=lambda s: V.uniform_expectation_1site(s, Z).real)
+    es = np.array(es)
+    assert abs(es - es[0]).max() < 1e-4
+    assert abs(obs[-1] - obs[0]) > 1e-2   # nontrivial dynamics
+
+
+def test_itdvp_imaginary_time_projects_to_ground_state():
+    import importlib
+    V = importlib.import_module("tensornetwork_tpu.models.vumps")
+    W = np.asarray(mpo_lib.FiniteTFI(-1.0, -1.0, N=3).Ws)[1]
+    key = jax.random.PRNGKey(7)
+    st = V.random_vumps_state(key, chi=12)
+    st, es, _ = V.itdvp(st, W, t=6.0, num_steps=60, imaginary=True)
+    exact = V.tfi_exact_energy_density(1.0, 1.0)
+    # imaginary-time iTDVP converges toward the GS energy density
+    assert abs(es[-1] - exact) < 5e-3
