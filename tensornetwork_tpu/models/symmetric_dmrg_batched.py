@@ -194,7 +194,20 @@ class BatchedSymmetricDMRG:
         self.energies: List[np.ndarray] = []
 
     # -- initial right-canonicalization + right environments ---------------
+    def _canon_key(self, site: int):
+        # reuse compiled canonicalization programs across sites with the
+        # same charge structure
+        from tensornetwork_tpu.blocksparse.jax_engine import _structure_key
+        sig = (_structure_key(self.skeleton[site]),
+               _structure_key(self.skeleton[site - 1]),
+               _structure_key(self.mpo[site]),
+               _structure_key(self._Rskel[site + 1]))
+        if not hasattr(self, "_canon_sig_map"):
+            self._canon_sig_map = {}
+        return self._canon_sig_map.setdefault(sig, site)
+
     def _canon_program(self, site: int):
+        site = self._canon_key(site)
         if site not in self._canon_programs:
             A_skel = self.skeleton[site]
             A_prev_skel = self.skeleton[site - 1]
@@ -225,10 +238,19 @@ class BatchedSymmetricDMRG:
             self._canon_programs[site] = run
         return self._canon_programs[site]
 
+    def _structure_sig(self, *tensors):
+        from tensornetwork_tpu.blocksparse.jax_engine import _structure_key
+        return tuple(_structure_key(t) for t in tensors)
+
     def _program(self, site: int, direction: str) -> _SiteProgram:
-        key = (site, direction)
+        # key on the charge STRUCTURE, not the site index: bulk sites of
+        # a smooth bond profile share structures, so one compiled program
+        # serves several sites (cuts the ~45-program first-sweep compile)
+        nxt = site + 1 if direction == "right" else site - 1
+        key = (direction, self._structure_sig(
+            self.skeleton[site], self.skeleton[nxt], self.mpo[site],
+            self._Lskel[site], self._Rskel[site + 1]))
         if key not in self._programs:
-            nxt = site + 1 if direction == "right" else site - 1
             self._programs[key] = _SiteProgram(
                 self.skeleton[site], self.skeleton[nxt], self.mpo[site],
                 self._Lskel[site], self._Rskel[site + 1], direction,
@@ -350,7 +372,10 @@ class _BondProgram:
 
 def _install_two_site(cls):
     def _bond_program(self, bond: int, direction: str):
-        key = ("2s", bond, direction)
+        key = ("2s", direction, self._structure_sig(
+            self.skeleton[bond], self.skeleton[bond + 1],
+            self.mpo[bond], self.mpo[bond + 1],
+            self._Lskel[bond], self._Rskel[bond + 2]))
         if key not in self._programs:
             self._programs[key] = _BondProgram(
                 self.skeleton[bond], self.skeleton[bond + 1],
