@@ -105,8 +105,8 @@ def _cholqr2(m: Array) -> Tuple[Array, Array]:
     return q2, r
 
 
-def _ns_polar(m: Array, quintic_iters: int = 20,
-              cubic_iters: int = 10) -> Tuple[Array, Array]:
+def _ns_polar(m: Array, quintic_iters: Optional[int] = None,
+              cubic_iters: Optional[int] = None) -> Tuple[Array, Array]:
     """Polar decomposition m = Q·P (Q column-isometric, P = Q†m) by a
     matmul-only iteration, so it rides the MXU where batched Householder
     QR serializes.  DMRG gauge shifts only need *some* isometric/rest
@@ -117,7 +117,15 @@ def _ns_polar(m: Array, quintic_iters: int = 20,
     aggressive quintic steps (coefficients from the Muon/"polar express"
     family, growth ~3.44x/step) inflate the small singular values, then
     cubic steps polish quadratically.  Measured (f64, 24x12 panels):
-    ||Q†Q-I|| < 1e-15 up to cond 1e10, ~3e-4 at cond 1e12."""
+    ||Q†Q-I|| < 1e-15 up to cond 1e10, ~3e-4 at cond 1e12.
+
+    Iteration counts default dtype-aware: f32 only needs (14, 7) for
+    full f32 isometry up to cond 1e7 (validated), f64 keeps (20, 10) —
+    a ~35% cut of the gauge-shift matmuls in the batched f32 sweeps."""
+    if quintic_iters is None:
+        quintic_iters = 14 if m.dtype == jnp.float32 else 20
+    if cubic_iters is None:
+        cubic_iters = 7 if m.dtype == jnp.float32 else 10
     k = m.shape[-1]
     nrm = jnp.linalg.norm(m, axis=(-2, -1), keepdims=True)
     X = m / jnp.where(nrm > 0, nrm * 1.01, 1.0)

@@ -240,8 +240,9 @@ def svd_masked_sc(
     return MaskedSVDSC(u_k, s_masked, vh_k, num_kept, trunc_sq)
 
 
-def ns_polar_complete(m: jax.Array, quintic_iters: int = 20,
-                      cubic_iters: int = 10) -> Tuple[jax.Array, jax.Array]:
+def ns_polar_complete(m: jax.Array, quintic_iters: Optional[int] = None,
+                      cubic_iters: Optional[int] = None
+                      ) -> Tuple[jax.Array, jax.Array]:
     """Matmul-only polar split ``m = Q @ P`` with a FULL isometry Q
     (Q^T Q = I) for real (optionally batched [..., n, k], n >= k)
     matrices — including exactly rank-deficient input, where plain
@@ -258,6 +259,12 @@ def ns_polar_complete(m: jax.Array, quintic_iters: int = 20,
     if n < k:
         raise ValueError(f"need n >= k, got {m.shape}")
     dt = m.dtype
+    # dtype-aware schedule: f32 reaches its precision floor with fewer
+    # steps (validated to cond 1e7)
+    if quintic_iters is None:
+        quintic_iters = 14 if dt == jnp.float32 else 20
+    if cubic_iters is None:
+        cubic_iters = 7 if dt == jnp.float32 else 10
     eye = jnp.eye(k, dtype=dt)
 
     def ns(x):

@@ -22,7 +22,7 @@ TPU-necessity module.
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Sequence, Tuple, Union
+from typing import Any, NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -216,13 +216,18 @@ def eye_like(a: SC, k: int) -> SC:
     return SC(e, jnp.zeros_like(e))
 
 
-def polar(m: SC, quintic_iters: int = 20, cubic_iters: int = 10
-          ) -> Tuple[SC, SC]:
+def polar(m: SC, quintic_iters: Optional[int] = None,
+          cubic_iters: Optional[int] = None) -> Tuple[SC, SC]:
     """Complex polar decomposition m = Q·P via the hybrid Newton-Schulz
     schedule of :func:`tensornetwork_tpu.models.dmrg._ns_polar`, executed
     entirely in split-complex matmuls.  Q is column-isometric (Q†Q = I),
     P = Q†m.  This is the complex-QR replacement for gauge shifts on
-    real-only TPU backends."""
+    real-only TPU backends.  Iteration counts default dtype-aware
+    (f32: 14/7, f64: 20/10)."""
+    if quintic_iters is None:
+        quintic_iters = 14 if m.dtype == jnp.float32 else 20
+    if cubic_iters is None:
+        cubic_iters = 7 if m.dtype == jnp.float32 else 10
     k = m.shape[-1]
     nrm = jnp.sqrt(jnp.sum(m.re * m.re, axis=(-2, -1), keepdims=True)
                    + jnp.sum(m.im * m.im, axis=(-2, -1), keepdims=True))
@@ -265,8 +270,8 @@ def _smoothstep_projector(D: SC, iters: int = 25) -> SC:
     return D
 
 
-def polar_complete(m: SC, quintic_iters: int = 20, cubic_iters: int = 10
-                   ) -> Tuple[SC, SC]:
+def polar_complete(m: SC, quintic_iters: Optional[int] = None,
+                   cubic_iters: Optional[int] = None) -> Tuple[SC, SC]:
     """Polar split m = Q·P with Q a FULL isometry (Q†Q = I) even when m is
     rank-deficient.
 
@@ -280,6 +285,10 @@ def polar_complete(m: SC, quintic_iters: int = 20, cubic_iters: int = 10
     a second Newton-Schulz pass, and added.  The splitting stays exact:
     the completion columns are orthogonal to col(m), so Q†m = X†m."""
     n, k = m.shape[-2], m.shape[-1]
+    if quintic_iters is None:
+        quintic_iters = 14 if m.dtype == jnp.float32 else 20
+    if cubic_iters is None:
+        cubic_iters = 7 if m.dtype == jnp.float32 else 10
     X, _ = polar(m, quintic_iters, cubic_iters)
     eye = jnp.eye(k, dtype=m.dtype)
     XtX = matmul(adjoint(X), X)
