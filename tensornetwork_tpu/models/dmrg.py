@@ -222,6 +222,7 @@ def one_site_sweep(
     boundary_envs: Optional[Tuple[Array, Array]] = None,
     qr_impl: Optional[str] = None,
     ritz_impl: Optional[str] = None,
+    reorth: bool = True,
 ) -> SweepResult:
     """One full (left-to-right + right-to-left) one-site DMRG sweep as a
     single XLA computation (reference ``run_one_site``, ``dmrg.py:345``).
@@ -238,20 +239,23 @@ def one_site_sweep(
     qr_impl = QR_IMPL if qr_impl is None else qr_impl
     ritz_impl = RITZ_IMPL if ritz_impl is None else ritz_impl
     return _one_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs,
-                               boundary_envs, qr_impl, ritz_impl)
+                               boundary_envs, qr_impl, ritz_impl, reorth)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl"))
+    jax.jit,
+    static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth"))
 def _one_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs, boundary_envs,
-                        qr_impl, ritz_impl):
+                        qr_impl, ritz_impl, reorth=True):
     with jax.default_matmul_precision("highest"):
         return _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
-                                    boundary_envs, qr_impl, ritz_impl)
+                                    boundary_envs, qr_impl, ritz_impl,
+                                    reorth)
 
 
 def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
-                         boundary_envs=None, qr_impl=None, ritz_impl=None):
+                         boundary_envs=None, qr_impl=None, ritz_impl=None,
+                         reorth=True):
     if ritz_impl is None:
         ritz_impl = RITZ_IMPL
     # Lanczos is precision-critical: bf16 MXU passes make the tridiagonal
@@ -277,7 +281,7 @@ def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         mv = lambda x: _matvec_1s(Lenv, W, Renv, x)
         evals, evecs = krylov.eigsh_lanczos(
             mv, A, num_krylov_vecs=num_krylov_vecs, numeig=1,
-            ritz_method=ritz_impl)
+            ritz_method=ritz_impl, reorthogonalize=reorth)
         Q, Rm_new = _qr_shift_right(evecs[0], impl=qr_impl)
         Lenv_new = _update_left(Lenv, Q, W)
         return (Lenv_new, Rm_new), (Q, Lenv, evals[0])
@@ -299,7 +303,7 @@ def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         mv = lambda x: _matvec_1s(Lenv, W, Renv, x)
         evals, evecs = krylov.eigsh_lanczos(
             mv, A, num_krylov_vecs=num_krylov_vecs, numeig=1,
-            ritz_method=ritz_impl)
+            ritz_method=ritz_impl, reorthogonalize=reorth)
         Lm_new, Q = _rq_shift_left(evecs[0], impl=qr_impl)
         Renv_new = _update_right(Renv, Q, W)
         return (Renv_new, Lm_new), (Q, evals[0])
@@ -320,6 +324,7 @@ def two_site_sweep(
     boundary_envs: Optional[Tuple[Array, Array]] = None,
     qr_impl: Optional[str] = None,
     ritz_impl: Optional[str] = None,
+    reorth: bool = True,
 ) -> SweepResult:
     """One full two-site DMRG sweep (reference ``run_two_site``,
     ``dmrg.py:445``).  Bond truncation back to the static ``chi`` uses the
@@ -329,20 +334,23 @@ def two_site_sweep(
     qr_impl = QR_IMPL if qr_impl is None else qr_impl
     ritz_impl = RITZ_IMPL if ritz_impl is None else ritz_impl
     return _two_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs,
-                               boundary_envs, qr_impl, ritz_impl)
+                               boundary_envs, qr_impl, ritz_impl, reorth)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl"))
+    jax.jit,
+    static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth"))
 def _two_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs, boundary_envs,
-                        qr_impl, ritz_impl):
+                        qr_impl, ritz_impl, reorth=True):
     with jax.default_matmul_precision("highest"):
         return _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
-                                    boundary_envs, qr_impl, ritz_impl)
+                                    boundary_envs, qr_impl, ritz_impl,
+                                    reorth)
 
 
 def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
-                         boundary_envs=None, qr_impl=None, ritz_impl=None):
+                         boundary_envs=None, qr_impl=None, ritz_impl=None,
+                         reorth=True):
     if ritz_impl is None:
         ritz_impl = RITZ_IMPL
     N, chi, d, _ = As.shape
@@ -366,7 +374,7 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         mv = lambda x: _matvec_2s(Lenv, W1, W2, Renv, x)
         evals, evecs = krylov.eigsh_lanczos(
             mv, theta, num_krylov_vecs=num_krylov_vecs, numeig=1,
-            ritz_method=ritz_impl)
+            ritz_method=ritz_impl, reorthogonalize=reorth)
         th = evecs[0].reshape(chi * d, d * chi)
         res = svd_masked(th, max_singular_values=chi)
         s_norm = jnp.linalg.norm(res.s)
@@ -398,7 +406,7 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         mv = lambda x: _matvec_2s(Lenv, W1, W2, Renv, x)
         evals, evecs = krylov.eigsh_lanczos(
             mv, theta, num_krylov_vecs=num_krylov_vecs, numeig=1,
-            ritz_method=ritz_impl)
+            ritz_method=ritz_impl, reorthogonalize=reorth)
         th = evecs[0].reshape(chi * d, d * chi)
         res = svd_masked(th, max_singular_values=chi)
         s_norm = jnp.linalg.norm(res.s)

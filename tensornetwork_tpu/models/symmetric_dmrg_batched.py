@@ -59,7 +59,8 @@ class _SiteProgram:
     """Compiled per-(site, direction) batched step."""
 
     def __init__(self, A_skel, A_next_skel, W_skel, L_skel, R_skel,
-                 direction: str, num_krylov_vecs: int, ritz_method: str):
+                 direction: str, num_krylov_vecs: int, ritz_method: str,
+                 reorth: bool = True):
         self.direction = direction
         self.m = num_krylov_vecs
         # matvec chain plans (single instance; vmapped by the jit below)
@@ -99,7 +100,7 @@ class _SiteProgram:
                 mv = lambda x: self.mv3(self.mv2(self.mv1(dl, x), dw), dr)
                 evals, evecs = krylov.eigsh_lanczos(
                     mv, da, num_krylov_vecs=self.m, numeig=1,
-                    ritz_method=ritz)
+                    ritz_method=ritz, reorthogonalize=reorth)
                 return evals[0], evecs[0]
 
             es, vs = jax.vmap(solve)(dA, dW, dL, dR)
@@ -148,6 +149,7 @@ class BatchedSymmetricDMRG:
                  mpo_data: Optional[Sequence[Array]] = None,
                  num_krylov_vecs: int = 10,
                  ritz_method: str = "power",
+                 reorth: bool = True,
                  mesh=None, batch_axis: str = "data"):
         if len(skeleton) != len(mpo):
             raise ValueError("MPS and MPO must have equal length")
@@ -158,6 +160,7 @@ class BatchedSymmetricDMRG:
         self.B = int(data[0].shape[0])
         self.m = num_krylov_vecs
         self.ritz = ritz_method
+        self.reorth = reorth
         if mpo_data is None:
             mpo_data = [jnp.broadcast_to(jnp.asarray(w.data),
                                          (self.B,) + w.data.shape)
@@ -254,7 +257,7 @@ class BatchedSymmetricDMRG:
             self._programs[key] = _SiteProgram(
                 self.skeleton[site], self.skeleton[nxt], self.mpo[site],
                 self._Lskel[site], self._Rskel[site + 1], direction,
-                self.m, self.ritz)
+                self.m, self.ritz, self.reorth)
         return self._programs[key]
 
     def run_one_site(self, num_sweeps: int = 4, tol: float = 1e-10,
@@ -312,7 +315,8 @@ class _BondProgram:
     """Compiled per-(bond, direction) batched two-site step."""
 
     def __init__(self, A_skel, B_skel, W1_skel, W2_skel, L_skel, R_skel,
-                 direction: str, num_krylov_vecs: int, ritz_method: str):
+                 direction: str, num_krylov_vecs: int, ritz_method: str,
+                 reorth: bool = True):
         from tensornetwork_tpu.blocksparse.batched import TwoSiteSplitPlan
         self.direction = direction
         self.m = num_krylov_vecs
@@ -347,7 +351,7 @@ class _BondProgram:
                     self.mv3(self.mv2(self.mv1(dl, x), dw1), dw2), dr)
                 evals, evecs = krylov.eigsh_lanczos(
                     mv, th0, num_krylov_vecs=self.m, numeig=1,
-                    ritz_method=ritz)
+                    ritz_method=ritz, reorthogonalize=reorth)
                 return evals[0], evecs[0]
 
             es, ths = jax.vmap(solve)(dA, dB, dW1, dW2, dL, dR)
@@ -381,7 +385,7 @@ def _install_two_site(cls):
                 self.skeleton[bond], self.skeleton[bond + 1],
                 self.mpo[bond], self.mpo[bond + 1],
                 self._Lskel[bond], self._Rskel[bond + 2], direction,
-                self.m, self.ritz)
+                self.m, self.ritz, self.reorth)
         return self._programs[key]
 
     def run_two_site(self, num_sweeps: int = 4, tol: float = 1e-10,

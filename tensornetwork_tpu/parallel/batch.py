@@ -24,7 +24,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
                            qr_impl: str = "polar",
-                           ritz_impl: str = "power"):
+                           ritz_impl: str = "power",
+                           reorth: bool = False):
     """One-site DMRG sweep over a batch of MPS instances.
 
     ``As_batch``: (B, N, chi, d, chi); MPO shared across the batch.
@@ -36,21 +37,26 @@ def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
     the measured difference is large (TPU v5e, TFI N=32: chi=64 B=256
     353 vs 191 inst-sweeps/s; chi=128 B=64 106 vs 74).  Pass
     ``qr_impl="householder", ritz_impl="eigh"`` for bit-parity with the
-    single-instance path.
-    qr_impl and ritz_impl are resolved at call time (outside jit), so the
+    single-instance path.  ``reorth=False`` (batched default) runs the
+    plain three-term Lanczos recurrence — at m~10 with warm starts the
+    energies stay at the f32 floor and the sweep is ~15% faster (434 vs
+    378 inst-sweeps/s at chi=64 B=256); pass True for the fully
+    reorthogonalized basis.
+    All three impl knobs are resolved at call time (outside jit), so the
     compile cache keys on them.
     """
     return _batched_one_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
-                                 qr_impl, ritz_impl)
+                                 qr_impl, ritz_impl, reorth)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl"))
+    jax.jit,
+    static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth"))
 def _batched_one_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
-                          qr_impl, ritz_impl):
+                          qr_impl, ritz_impl, reorth=False):
     fn = lambda As: _dmrg.one_site_sweep(
         As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
-        qr_impl=qr_impl, ritz_impl=ritz_impl)
+        qr_impl=qr_impl, ritz_impl=ritz_impl, reorth=reorth)
     return jax.vmap(fn)(As_batch)
 
 
@@ -76,20 +82,22 @@ def _batched_multi_mpo_jit(As_batch, Ws_batch, vL, vR, num_krylov_vecs,
 
 def batched_two_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
                            qr_impl: str = "polar",
-                           ritz_impl: str = "power"):
+                           ritz_impl: str = "power",
+                           reorth: bool = False):
     """Two-site batched sweep; batched-default impls as in
     :func:`batched_one_site_sweep`."""
     return _batched_two_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
-                                 qr_impl, ritz_impl)
+                                 qr_impl, ritz_impl, reorth)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl"))
+    jax.jit,
+    static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth"))
 def _batched_two_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
-                          qr_impl, ritz_impl):
+                          qr_impl, ritz_impl, reorth=False):
     fn = lambda As: _dmrg.two_site_sweep(
         As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
-        qr_impl=qr_impl, ritz_impl=ritz_impl)
+        qr_impl=qr_impl, ritz_impl=ritz_impl, reorth=reorth)
     return jax.vmap(fn)(As_batch)
 
 
