@@ -55,15 +55,18 @@ def _update_right(R: Array, A: Array, W: Array) -> Array:
                       optimize="auto")
 
 
-def _matvec_1s(L: Array, W: Array, R: Array, x: Array) -> Array:
+def _matvec_1s(L: Array, W: Array, R: Array, x: Array,
+               prec: Optional[str] = None) -> Array:
     # y[c, s, d] = L[a,w,c] W[w,v,s,t] x[a,t,b] R[b,v,d]
-    return jnp.einsum("awc,wvst,atb,bvd->csd", L, W, x, R, optimize="auto")
+    return jnp.einsum("awc,wvst,atb,bvd->csd", L, W, x, R, optimize="auto",
+                      precision=prec)
 
 
-def _matvec_2s(L: Array, W1: Array, W2: Array, R: Array, x: Array) -> Array:
+def _matvec_2s(L: Array, W1: Array, W2: Array, R: Array, x: Array,
+               prec: Optional[str] = None) -> Array:
     # y[c, s, u, d] = L[a,w,c] W1[w,m,s,t] W2[m,v,u,z] x[a,t,z,b] R[b,v,d]
     return jnp.einsum("awc,wmst,mvuz,atzb,bvd->csud", L, W1, W2, x, R,
-                      optimize="auto")
+                      optimize="auto", precision=prec)
 
 
 def _boundary_left(chi: int, vL: Array) -> Array:
@@ -151,6 +154,12 @@ RITZ_IMPL = "eigh"  # "eigh" | "power" — small-eigenproblem method inside
 # pathologically slow on TPU; see ops.krylov.eigsh_lanczos).  Resolved at
 # call time like QR_IMPL.
 
+MATVEC_PRECISION: Optional[str] = None  # None | "highest" | "high"
+# Precision of the Lanczos matvec einsums only; everything else in the
+# sweep stays at the forced "highest" (6-pass bf16 = f32-exact on MXU).
+# "high" (3-pass emulation) halves the dominant GEMM cost; measure energy
+# parity before adopting it for a new model class.  Resolved at call time.
+
 
 def _qr(m: Array, use_cholesky: bool = False,
         impl: Optional[str] = None) -> Tuple[Array, Array]:
@@ -223,6 +232,7 @@ def one_site_sweep(
     qr_impl: Optional[str] = None,
     ritz_impl: Optional[str] = None,
     reorth: bool = True,
+    matvec_prec: Optional[str] = None,
 ) -> SweepResult:
     """One full (left-to-right + right-to-left) one-site DMRG sweep as a
     single XLA computation (reference ``run_one_site``, ``dmrg.py:345``).
@@ -238,24 +248,27 @@ def one_site_sweep(
     cache is keyed on the actual implementation choice."""
     qr_impl = QR_IMPL if qr_impl is None else qr_impl
     ritz_impl = RITZ_IMPL if ritz_impl is None else ritz_impl
+    matvec_prec = MATVEC_PRECISION if matvec_prec is None else matvec_prec
     return _one_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs,
-                               boundary_envs, qr_impl, ritz_impl, reorth)
+                               boundary_envs, qr_impl, ritz_impl, reorth,
+                               matvec_prec)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth"))
+    static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth",
+                     "matvec_prec"))
 def _one_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs, boundary_envs,
-                        qr_impl, ritz_impl, reorth=True):
+                        qr_impl, ritz_impl, reorth=True, matvec_prec=None):
     with jax.default_matmul_precision("highest"):
         return _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                                     boundary_envs, qr_impl, ritz_impl,
-                                    reorth)
+                                    reorth, matvec_prec)
 
 
 def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                          boundary_envs=None, qr_impl=None, ritz_impl=None,
-                         reorth=True):
+                         reorth=True, matvec_prec=None):
     if ritz_impl is None:
         ritz_impl = RITZ_IMPL
     # Lanczos is precision-critical: bf16 MXU passes make the tridiagonal
@@ -278,7 +291,7 @@ def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         A = jnp.einsum("ab,bsc->asc", Rm, A)
         nrm = jnp.linalg.norm(A)
         A = A / jnp.where(nrm > 0, nrm, 1.0)
-        mv = lambda x: _matvec_1s(Lenv, W, Renv, x)
+        mv = lambda x: _matvec_1s(Lenv, W, Renv, x, matvec_prec)
         evals, evecs = krylov.eigsh_lanczos(
             mv, A, num_krylov_vecs=num_krylov_vecs, numeig=1,
             ritz_method=ritz_impl, reorthogonalize=reorth)
@@ -300,7 +313,7 @@ def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         A = jnp.einsum("asb,bc->asc", A, Lm)
         nrm = jnp.linalg.norm(A)
         A = A / jnp.where(nrm > 0, nrm, 1.0)
-        mv = lambda x: _matvec_1s(Lenv, W, Renv, x)
+        mv = lambda x: _matvec_1s(Lenv, W, Renv, x, matvec_prec)
         evals, evecs = krylov.eigsh_lanczos(
             mv, A, num_krylov_vecs=num_krylov_vecs, numeig=1,
             ritz_method=ritz_impl, reorthogonalize=reorth)
@@ -325,6 +338,7 @@ def two_site_sweep(
     qr_impl: Optional[str] = None,
     ritz_impl: Optional[str] = None,
     reorth: bool = True,
+    matvec_prec: Optional[str] = None,
 ) -> SweepResult:
     """One full two-site DMRG sweep (reference ``run_two_site``,
     ``dmrg.py:445``).  Bond truncation back to the static ``chi`` uses the
@@ -333,24 +347,27 @@ def two_site_sweep(
     :func:`one_site_sweep`."""
     qr_impl = QR_IMPL if qr_impl is None else qr_impl
     ritz_impl = RITZ_IMPL if ritz_impl is None else ritz_impl
+    matvec_prec = MATVEC_PRECISION if matvec_prec is None else matvec_prec
     return _two_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs,
-                               boundary_envs, qr_impl, ritz_impl, reorth)
+                               boundary_envs, qr_impl, ritz_impl, reorth,
+                               matvec_prec)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth"))
+    static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth",
+                     "matvec_prec"))
 def _two_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs, boundary_envs,
-                        qr_impl, ritz_impl, reorth=True):
+                        qr_impl, ritz_impl, reorth=True, matvec_prec=None):
     with jax.default_matmul_precision("highest"):
         return _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                                     boundary_envs, qr_impl, ritz_impl,
-                                    reorth)
+                                    reorth, matvec_prec)
 
 
 def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                          boundary_envs=None, qr_impl=None, ritz_impl=None,
-                         reorth=True):
+                         reorth=True, matvec_prec=None):
     if ritz_impl is None:
         ritz_impl = RITZ_IMPL
     N, chi, d, _ = As.shape
@@ -371,7 +388,7 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         theta = jnp.einsum("asb,btc->astc", pending, A_next)
         nrm = jnp.linalg.norm(theta)
         theta = theta / jnp.where(nrm > 0, nrm, 1.0)
-        mv = lambda x: _matvec_2s(Lenv, W1, W2, Renv, x)
+        mv = lambda x: _matvec_2s(Lenv, W1, W2, Renv, x, matvec_prec)
         evals, evecs = krylov.eigsh_lanczos(
             mv, theta, num_krylov_vecs=num_krylov_vecs, numeig=1,
             ritz_method=ritz_impl, reorthogonalize=reorth)
@@ -403,7 +420,7 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         theta = jnp.einsum("asb,btc->astc", A_prev, pending)
         nrm = jnp.linalg.norm(theta)
         theta = theta / jnp.where(nrm > 0, nrm, 1.0)
-        mv = lambda x: _matvec_2s(Lenv, W1, W2, Renv, x)
+        mv = lambda x: _matvec_2s(Lenv, W1, W2, Renv, x, matvec_prec)
         evals, evecs = krylov.eigsh_lanczos(
             mv, theta, num_krylov_vecs=num_krylov_vecs, numeig=1,
             ritz_method=ritz_impl, reorthogonalize=reorth)

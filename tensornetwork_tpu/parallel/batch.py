@@ -25,7 +25,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
                            qr_impl: str = "polar",
                            ritz_impl: str = "power",
-                           reorth: bool = False):
+                           reorth: bool = False,
+                           matvec_prec=None):
     """One-site DMRG sweep over a batch of MPS instances.
 
     ``As_batch``: (B, N, chi, d, chi); MPO shared across the batch.
@@ -45,18 +46,23 @@ def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
     All three impl knobs are resolved at call time (outside jit), so the
     compile cache keys on them.
     """
+    matvec_prec = (_dmrg.MATVEC_PRECISION if matvec_prec is None
+                   else matvec_prec)
     return _batched_one_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
-                                 qr_impl, ritz_impl, reorth)
+                                 qr_impl, ritz_impl, reorth, matvec_prec)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth"))
+    static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth",
+                     "matvec_prec"))
 def _batched_one_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
-                          qr_impl, ritz_impl, reorth=False):
+                          qr_impl, ritz_impl, reorth=False,
+                          matvec_prec=None):
     fn = lambda As: _dmrg.one_site_sweep(
         As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
-        qr_impl=qr_impl, ritz_impl=ritz_impl, reorth=reorth)
+        qr_impl=qr_impl, ritz_impl=ritz_impl, reorth=reorth,
+        matvec_prec=matvec_prec)
     return jax.vmap(fn)(As_batch)
 
 

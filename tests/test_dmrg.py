@@ -196,3 +196,20 @@ def test_two_site_dmrg_alternative_impls():
                              ritz_impl="power")
         As = res.As
     np.testing.assert_allclose(float(res.energy), exact, rtol=1e-6)
+
+
+def test_one_site_dmrg_matvec_precision_knob():
+    # matvec_prec threads through to the Lanczos matvec einsums; on the
+    # CPU test backend all precisions are exact f32/f64 matmuls, so the
+    # converged energy must match the exact ground energy either way.
+    from tensornetwork_tpu.models.dmrg import one_site_sweep
+    N, chi = 8, 12
+    mpo = FiniteTFI(Jx=-1.0, Bz=-0.7, N=N)
+    exact = exact_ground_energy(mpo)
+    for prec in ("high", "highest"):
+        As = random_mps_stack(jax.random.PRNGKey(5), N, chi)
+        for _ in range(6):
+            res = one_site_sweep(As, mpo.Ws, mpo.vL, mpo.vR,
+                                 num_krylov_vecs=20, matvec_prec=prec)
+            As = res.As
+        np.testing.assert_allclose(float(res.energy), exact, rtol=1e-6)
