@@ -92,6 +92,52 @@ def lanczos_factorization(
     return V, alphas, betas[: m - 1] if m > 1 else betas[:0]
 
 
+def tridiag_ritz(alphas: jax.Array, betas: jax.Array,
+                 method: str = "eigh",
+                 power_iters: int = 60) -> Tuple[jax.Array, jax.Array]:
+    """Smallest Ritz pair of the real symmetric tridiagonal projection.
+
+    ``alphas``: (m,) diagonal, ``betas``: (m-1,) off-diagonal.  Returns
+    ``(lam, w)`` with ``w``: (m,) weights in the Krylov basis.  The
+    ``"power"`` method is the closed-form-2x2 steepest-descent iteration
+    (see :func:`eigsh_lanczos`); ``"eigh"`` is exact.  Shared by the
+    in-XLA Lanczos and the fused Pallas whole-Lanczos kernel (which
+    computes (alphas, betas) on-chip and solves the m x m problem here,
+    vmapped — a per-instance scalar chain would serialize across the
+    sequential grid programs).
+    """
+    m = alphas.shape[0]
+    T = (jnp.diag(alphas)
+         + jnp.diag(betas, 1)
+         + jnp.diag(betas, -1)).astype(alphas.dtype)
+    if method == "power":
+        w = jnp.zeros((m,), T.dtype).at[0].set(1.0)
+
+        def pbody(w, _):
+            Tw = T @ w
+            lam = w @ Tw
+            r = Tw - lam * w
+            r = r - (w @ r) * w
+            rn = jnp.linalg.norm(r)
+            u = r / jnp.where(rn > 1e-30, rn, 1.0)
+            Tu = T @ u
+            h = w @ Tu
+            g = u @ Tu
+            disc = jnp.sqrt(jnp.maximum((lam - g) ** 2 / 4 + h * h, 0.0))
+            mu = (lam + g) / 2 - disc
+            v = h * w + (mu - lam) * u
+            vn = jnp.linalg.norm(v)
+            w2 = v / jnp.where(vn > 1e-30, vn, 1.0)
+            w2 = jnp.where(rn > 1e-14, w2, w)
+            return w2, None
+
+        w, _ = jax.lax.scan(pbody, w, None, length=power_iters)
+        lam = w @ (T @ w)
+        return lam, w
+    evals, evecs = jnp.linalg.eigh(T)
+    return evals[0], evecs[:, 0]
+
+
 def eigsh_lanczos(
     matvec: Callable,
     initial_state: jax.Array,
@@ -121,47 +167,25 @@ def eigsh_lanczos(
             mv, state, num_krylov_vecs, reorthogonalize, delta)
         alphas_r = jnp.real(alphas)
         betas_r = jnp.real(betas) if betas.size else betas
-        T = (jnp.diag(alphas_r)
-             + jnp.diag(betas_r, 1)
-             + jnp.diag(betas_r, -1)).astype(alphas_r.dtype)
         if ritz_method == "power" and numeig == 1:
             # steepest-descent Rayleigh-quotient minimization on T with a
-            # closed-form 2x2 Ritz step: avoids the batched small-matrix
-            # eigh, which is pathologically slow on TPU (measured 4.8 ms
-            # for (256,10,10) stacks vs ~1.4 ms for this path).  Warm
-            # start from e1 — in DMRG, e1 of the Krylov basis IS the
-            # current site tensor, already near-converged after the first
-            # sweep.  Variational: the result is a Rayleigh quotient in
-            # the Krylov space.  Dead-step sentinels (+1e10 decoupled
+            # closed-form 2x2 Ritz step (see :func:`tridiag_ritz`):
+            # avoids the batched small-matrix eigh, which is
+            # pathologically slow on TPU (measured 4.8 ms for
+            # (256,10,10) stacks vs ~1.4 ms for this path).  Warm start
+            # from e1 — in DMRG, e1 of the Krylov basis IS the current
+            # site tensor, already near-converged after the first sweep.
+            # Variational: the result is a Rayleigh quotient in the
+            # Krylov space.  Dead-step sentinels (+1e10 decoupled
             # diagonals) are never entered: their gradient component is
             # (1e10-lam)*w_k = 0 while w_k stays 0.
-            m = T.shape[0]
-            w = jnp.zeros((m,), T.dtype).at[0].set(1.0)
-
-            def pbody(w, _):
-                Tw = T @ w
-                lam = w @ Tw
-                r = Tw - lam * w
-                r = r - (w @ r) * w
-                rn = jnp.linalg.norm(r)
-                u = r / jnp.where(rn > 1e-30, rn, 1.0)
-                Tu = T @ u
-                h = w @ Tu
-                g = u @ Tu
-                disc = jnp.sqrt(jnp.maximum((lam - g) ** 2 / 4 + h * h,
-                                            0.0))
-                mu = (lam + g) / 2 - disc
-                v = h * w + (mu - lam) * u
-                vn = jnp.linalg.norm(v)
-                w2 = v / jnp.where(vn > 1e-30, vn, 1.0)
-                w2 = jnp.where(rn > 1e-14, w2, w)
-                return w2, None
-
-            w, _ = jax.lax.scan(pbody, w, None, length=power_iters)
-            lam = w @ (T @ w)
+            lam, w = tridiag_ritz(alphas_r, betas_r, "power", power_iters)
             evals = lam[None]
             evecs = w[:, None]
         else:
+            T = (jnp.diag(alphas_r)
+                 + jnp.diag(betas_r, 1)
+                 + jnp.diag(betas_r, -1)).astype(alphas_r.dtype)
             evals, evecs = jnp.linalg.eigh(T)
         vecs = (V.T @ evecs[:, :numeig].astype(V.dtype)).T
         norms = jnp.linalg.norm(vecs, axis=1, keepdims=True)

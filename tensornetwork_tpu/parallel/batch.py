@@ -26,7 +26,8 @@ def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
                            qr_impl: str = "polar",
                            ritz_impl: str = "power",
                            reorth: bool = False,
-                           matvec_prec=None):
+                           matvec_prec=None,
+                           lanczos_impl=None):
     """One-site DMRG sweep over a batch of MPS instances.
 
     ``As_batch``: (B, N, chi, d, chi); MPO shared across the batch.
@@ -48,21 +49,29 @@ def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
     """
     matvec_prec = (_dmrg.MATVEC_PRECISION if matvec_prec is None
                    else matvec_prec)
+    if lanczos_impl is None:
+        # Batched TPU default: the fused Pallas whole-Lanczos kernel —
+        # 585 vs 434 inst-sweeps/s at B=256 chi=64 (TPU v5e, identical
+        # mean converged energy).  Off-TPU the kernel would run in slow
+        # interpret mode, so fall back to the module default.
+        lanczos_impl = ("fused" if jax.default_backend() == "tpu"
+                        else _dmrg.LANCZOS_IMPL)
     return _batched_one_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
-                                 qr_impl, ritz_impl, reorth, matvec_prec)
+                                 qr_impl, ritz_impl, reorth, matvec_prec,
+                                 lanczos_impl)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth",
-                     "matvec_prec"))
+                     "matvec_prec", "lanczos_impl"))
 def _batched_one_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
                           qr_impl, ritz_impl, reorth=False,
-                          matvec_prec=None):
+                          matvec_prec=None, lanczos_impl="xla"):
     fn = lambda As: _dmrg.one_site_sweep(
         As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
         qr_impl=qr_impl, ritz_impl=ritz_impl, reorth=reorth,
-        matvec_prec=matvec_prec)
+        matvec_prec=matvec_prec, lanczos_impl=lanczos_impl)
     return jax.vmap(fn)(As_batch)
 
 

@@ -28,3 +28,56 @@ def test_heff_matvec_batch_validation(rng):
     import pytest
     with pytest.raises(ValueError):
         f(L, W, L, jnp.zeros((6, 2, 8, 8), jnp.float32))
+
+
+def test_fused_lanczos_matches_xla_lanczos(rng):
+    from tensornetwork_tpu.ops import krylov
+    from tensornetwork_tpu.models import dmrg as D
+
+    B, chi, d, M, m = 3, 16, 2, 3, 8
+    L = jnp.asarray(rng.standard_normal((B, chi, M, chi)), jnp.float32)
+    L = (L + L.transpose(0, 3, 2, 1)) / 2
+    R = jnp.asarray(rng.standard_normal((B, chi, M, chi)), jnp.float32)
+    R = (R + R.transpose(0, 3, 2, 1)) / 2
+    W = jnp.asarray(rng.standard_normal((M, M, d, d)), jnp.float32)
+    W = (W + W.transpose(1, 0, 3, 2)) / 2
+    x = jnp.asarray(rng.standard_normal((B, chi, d, chi)), jnp.float32)
+
+    def oracle(l, r, v):
+        mv = lambda z: D._matvec_1s(l, W, r, z)
+        return krylov.eigsh_lanczos(mv, v, num_krylov_vecs=m, numeig=1,
+                                    ritz_method="power",
+                                    reorthogonalize=False)
+
+    ev_o, vec_o = jax.vmap(oracle)(L, R, x)
+    ev_k, vec_k = K.fused_lanczos_ground_state(
+        L, W, R, x, num_krylov_vecs=m, ritz_method="power",
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(ev_k).ravel(),
+                               np.asarray(ev_o).ravel(),
+                               rtol=2e-5, atol=1e-3)
+    vo, vk = np.asarray(vec_o)[:, 0], np.asarray(vec_k)
+    for i in range(B):
+        a, b = vo[i].ravel(), vk[i].ravel()
+        sign = np.sign(np.dot(a, b))
+        np.testing.assert_allclose(a, sign * b, atol=1e-4)
+
+
+def test_fused_lanczos_breakdown_masking(rng):
+    # start from an exact eigenvector of a diagonal operator: the
+    # recurrence hits an invariant subspace at step 1; dead steps must
+    # not corrupt the Ritz value (sentinels keep them out of the min).
+    from tensornetwork_tpu.ops import krylov
+
+    B, chi, d, M, m = 1, 8, 2, 1, 6
+    # identity MPO couplings -> H = L (x) I (x) R acting diagonally
+    W = jnp.eye(d, dtype=jnp.float32).reshape(1, 1, d, d)
+    evals = jnp.arange(1.0, chi + 1.0, dtype=jnp.float32)
+    L = jnp.diag(evals).reshape(1, chi, 1, chi)
+    R = jnp.eye(chi, dtype=jnp.float32).reshape(1, chi, 1, chi)
+    x = jnp.zeros((B, chi, d, chi), jnp.float32).at[0, 0, 0, 0].set(1.0)
+    ev_k, vec_k = K.fused_lanczos_ground_state(
+        L, W, R, x, num_krylov_vecs=m, ritz_method="eigh",
+        interpret=True)
+    # <x|H|x> = evals[0] * 1 = 1.0 and x is exactly an eigenvector
+    np.testing.assert_allclose(np.asarray(ev_k)[0], 1.0, atol=1e-5)
