@@ -207,12 +207,20 @@ def _local_solve_1s(Lenv: Array, W: Array, Renv: Array, A: Array,
     kernel (plain three-term recurrence in VMEM, batch on the grid via
     vmap); ``"xla"`` is the in-XLA masked-matmul Lanczos."""
     if lanczos_impl == "fused":
-        from tensornetwork_tpu.ops import kernels
-        ev, evec = kernels.fused_lanczos_ground_state(
-            Lenv[None], W, Renv[None], A[None],
-            num_krylov_vecs=num_krylov_vecs, ritz_method=ritz_impl,
-            interpret=interpret, precision=jax.lax.Precision.HIGHEST)
-        return ev[0], evec[0]
+        chi, d = A.shape[0], A.shape[1]
+        M = W.shape[0]
+        # Per-program VMEM footprint: L+R blocks, x, the m-row Krylov
+        # basis and ~3 working vectors, all (chi, chi) f32 tiles.  VMEM
+        # is ~16 MB/core; chi=256 (8.9 MB raw) is measured-safe, chi=512
+        # (35 MB) is not — fall back to the XLA Lanczos there.
+        vmem_bytes = 4 * chi * chi * (2 * M + d * (num_krylov_vecs + 4))
+        if vmem_bytes <= 12 * 2**20:
+            from tensornetwork_tpu.ops import kernels
+            ev, evec = kernels.fused_lanczos_ground_state(
+                Lenv[None], W, Renv[None], A[None],
+                num_krylov_vecs=num_krylov_vecs, ritz_method=ritz_impl,
+                interpret=interpret, precision=jax.lax.Precision.HIGHEST)
+            return ev[0], evec[0]
     mv = lambda x: _matvec_1s(Lenv, W, Renv, x, matvec_prec)
     evals, evecs = krylov.eigsh_lanczos(
         mv, A, num_krylov_vecs=num_krylov_vecs, numeig=1,
@@ -283,7 +291,14 @@ def one_site_sweep(
     qr_impl = QR_IMPL if qr_impl is None else qr_impl
     ritz_impl = RITZ_IMPL if ritz_impl is None else ritz_impl
     matvec_prec = MATVEC_PRECISION if matvec_prec is None else matvec_prec
-    lanczos_impl = LANCZOS_IMPL if lanczos_impl is None else lanczos_impl
+    if lanczos_impl is None:
+        # TPU default: the fused Pallas whole-Lanczos kernel — measured
+        # 140 vs 75 sweeps/s single-instance and 585 vs 434
+        # inst-sweeps/s batched (B=256) at chi=64, identical converged
+        # energies.  Off-TPU the kernel would run in slow interpret
+        # mode, so the module default ("xla") applies there.
+        lanczos_impl = ("fused" if jax.default_backend() == "tpu"
+                        else LANCZOS_IMPL)
     # Pallas runs in interpret mode off-TPU (CPU tests / virtual meshes).
     interpret = jax.default_backend() != "tpu"
     return _one_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs,
