@@ -228,6 +228,32 @@ def _local_solve_1s(Lenv: Array, W: Array, Renv: Array, A: Array,
     return evals[0], evecs[0]
 
 
+def _local_solve_2s(Lenv: Array, W1: Array, W2: Array, Renv: Array,
+                    theta: Array, num_krylov_vecs: int, ritz_impl: str,
+                    reorth: bool, matvec_prec: Optional[str],
+                    lanczos_impl: str, interpret: bool
+                    ) -> Tuple[Array, Array]:
+    """Two-site local solve; fused-kernel path as in
+    :func:`_local_solve_1s` (nt = d*d tiles, MPO pair pre-fused)."""
+    if lanczos_impl == "fused":
+        chi, d = theta.shape[0], theta.shape[1]
+        M = W1.shape[0]
+        nt = d * d
+        vmem_bytes = 4 * chi * chi * (2 * M + nt * (num_krylov_vecs + 4))
+        if vmem_bytes <= 12 * 2**20:
+            from tensornetwork_tpu.ops import kernels
+            ev, evec = kernels.fused_lanczos_ground_state_2s(
+                Lenv[None], W1, W2, Renv[None], theta[None],
+                num_krylov_vecs=num_krylov_vecs, ritz_method=ritz_impl,
+                interpret=interpret, precision=jax.lax.Precision.HIGHEST)
+            return ev[0], evec[0]
+    mv = lambda x: _matvec_2s(Lenv, W1, W2, Renv, x, matvec_prec)
+    evals, evecs = krylov.eigsh_lanczos(
+        mv, theta, num_krylov_vecs=num_krylov_vecs, numeig=1,
+        ritz_method=ritz_impl, reorthogonalize=reorth)
+    return evals[0], evecs[0]
+
+
 def right_canonicalize_and_envs(
     As: Array, Ws: Array, vL: Array, vR: Array,
     R0: Optional[Array] = None,
@@ -392,6 +418,7 @@ def two_site_sweep(
     ritz_impl: Optional[str] = None,
     reorth: bool = True,
     matvec_prec: Optional[str] = None,
+    lanczos_impl: Optional[str] = None,
 ) -> SweepResult:
     """One full two-site DMRG sweep (reference ``run_two_site``,
     ``dmrg.py:445``).  Bond truncation back to the static ``chi`` uses the
@@ -401,26 +428,33 @@ def two_site_sweep(
     qr_impl = QR_IMPL if qr_impl is None else qr_impl
     ritz_impl = RITZ_IMPL if ritz_impl is None else ritz_impl
     matvec_prec = MATVEC_PRECISION if matvec_prec is None else matvec_prec
+    if lanczos_impl is None:
+        lanczos_impl = ("fused" if jax.default_backend() == "tpu"
+                        else LANCZOS_IMPL)
+    interpret = jax.default_backend() != "tpu"
     return _two_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs,
                                boundary_envs, qr_impl, ritz_impl, reorth,
-                               matvec_prec)
+                               matvec_prec, lanczos_impl, interpret)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth",
-                     "matvec_prec"))
+                     "matvec_prec", "lanczos_impl", "interpret"))
 def _two_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs, boundary_envs,
-                        qr_impl, ritz_impl, reorth=True, matvec_prec=None):
+                        qr_impl, ritz_impl, reorth=True, matvec_prec=None,
+                        lanczos_impl="xla", interpret=False):
     with jax.default_matmul_precision("highest"):
         return _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                                     boundary_envs, qr_impl, ritz_impl,
-                                    reorth, matvec_prec)
+                                    reorth, matvec_prec, lanczos_impl,
+                                    interpret)
 
 
 def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                          boundary_envs=None, qr_impl=None, ritz_impl=None,
-                         reorth=True, matvec_prec=None):
+                         reorth=True, matvec_prec=None,
+                         lanczos_impl="xla", interpret=False):
     if ritz_impl is None:
         ritz_impl = RITZ_IMPL
     N, chi, d, _ = As.shape
@@ -441,11 +475,10 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         theta = jnp.einsum("asb,btc->astc", pending, A_next)
         nrm = jnp.linalg.norm(theta)
         theta = theta / jnp.where(nrm > 0, nrm, 1.0)
-        mv = lambda x: _matvec_2s(Lenv, W1, W2, Renv, x, matvec_prec)
-        evals, evecs = krylov.eigsh_lanczos(
-            mv, theta, num_krylov_vecs=num_krylov_vecs, numeig=1,
-            ritz_method=ritz_impl, reorthogonalize=reorth)
-        th = evecs[0].reshape(chi * d, d * chi)
+        E0, th_opt = _local_solve_2s(Lenv, W1, W2, Renv, theta,
+                                     num_krylov_vecs, ritz_impl, reorth,
+                                     matvec_prec, lanczos_impl, interpret)
+        th = th_opt.reshape(chi * d, d * chi)
         res = svd_masked(th, max_singular_values=chi)
         s_norm = jnp.linalg.norm(res.s)
         s = res.s / jnp.where(s_norm > 0, s_norm, 1.0)
@@ -453,7 +486,7 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         SV = (s[:, None] * res.vh).reshape(chi, d, chi)
         Lenv_new = _update_left(Lenv, U, W1)
         terr = terr + res.trunc_sq_norm.astype(real_dtype)
-        return (Lenv_new, SV, terr), (U, Lenv, evals[0])
+        return (Lenv_new, SV, terr), (U, Lenv, E0)
 
     carry0 = (L0, As[0], jnp.zeros((), real_dtype))
     (Lenv_f, last, terr_lr), (Us, Lenvs, Es_lr) = jax.lax.scan(
@@ -473,11 +506,10 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         theta = jnp.einsum("asb,btc->astc", A_prev, pending)
         nrm = jnp.linalg.norm(theta)
         theta = theta / jnp.where(nrm > 0, nrm, 1.0)
-        mv = lambda x: _matvec_2s(Lenv, W1, W2, Renv, x, matvec_prec)
-        evals, evecs = krylov.eigsh_lanczos(
-            mv, theta, num_krylov_vecs=num_krylov_vecs, numeig=1,
-            ritz_method=ritz_impl, reorthogonalize=reorth)
-        th = evecs[0].reshape(chi * d, d * chi)
+        E0, th_opt = _local_solve_2s(Lenv, W1, W2, Renv, theta,
+                                     num_krylov_vecs, ritz_impl, reorth,
+                                     matvec_prec, lanczos_impl, interpret)
+        th = th_opt.reshape(chi * d, d * chi)
         res = svd_masked(th, max_singular_values=chi)
         s_norm = jnp.linalg.norm(res.s)
         s = res.s / jnp.where(s_norm > 0, s_norm, 1.0)
@@ -485,7 +517,7 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         V = res.vh.reshape(chi, d, chi)
         Renv_new = _update_right(Renv, V, W2)
         terr = terr + res.trunc_sq_norm.astype(real_dtype)
-        return (Renv_new, US, terr), (V, evals[0])
+        return (Renv_new, US, terr), (V, E0)
 
     carry0 = (R0, As1[-1], terr_lr)
     (_, first, terr), (Vs, Es_rl) = jax.lax.scan(

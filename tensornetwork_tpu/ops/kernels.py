@@ -292,6 +292,47 @@ def fused_lanczos_ground_state(L, W, R, x0, num_krylov_vecs: int,
     return evals, y.transpose(0, 2, 1, 3)
 
 
+def fused_lanczos_ground_state_2s(L, W1, W2, R, x0, num_krylov_vecs: int,
+                                  ritz_method: str = "power",
+                                  power_iters: int = 60,
+                                  delta: float = 1e-8,
+                                  interpret: bool = False,
+                                  precision=None):
+    """Two-site variant of :func:`fused_lanczos_ground_state`.
+
+    The whole-Lanczos kernel is generic in the number of physical tiles:
+    the two-site effective Hamiltonian ``L·W1·W2·R`` is the same
+    ``sum_{w,v} L_w^T · x · R_v`` sandwich with ``nt = d*d`` tiles and
+    the MPO pair pre-fused into a coupling tensor
+    ``C[w,v,(s,u),(t,z)] = sum_m W1[w,m,s,t] W2[m,v,u,z]`` (SMEM
+    scalars).  Operands: L (B,a,M,c), W1/W2 (M,M,d,d), R (B,b,M,d),
+    x0 (B,a,t,z,b).  Returns ``(evals (B,), evecs (B,a,t,z,b))``.
+    """
+    from tensornetwork_tpu.ops import krylov
+
+    B, chi, M, _ = L.shape
+    d = W1.shape[2]
+    nt = d * d
+    m = num_krylov_vecs
+    C = jnp.einsum("wmst,mvuz->wvsutz", W1, W2).reshape(M, M, nt, nt)
+    accum = x0.dtype if x0.dtype == jnp.float64 else jnp.float32
+    Lt = L.transpose(0, 2, 3, 1)
+    Rt = R.transpose(0, 2, 1, 3)
+    xt = x0.reshape(B, chi, nt, chi).transpose(0, 2, 1, 3)
+    fl = make_fused_lanczos(chi, nt, M, m, delta=delta,
+                            accum_dtype=accum,
+                            interpret=interpret, precision=precision)
+    V, ab = fl(Lt, C.astype(accum), Rt, xt)
+    alphas, betas = ab[:, 0, :], ab[:, 1, : m - 1]
+    evals, weights = jax.vmap(
+        lambda al, be: krylov.tridiag_ritz(al, be, ritz_method,
+                                           power_iters))(alphas, betas)
+    y = jnp.einsum("Bm,Bmtab->Btab", weights.astype(V.dtype), V)
+    nrm = jnp.sqrt(jnp.sum(y * y, axis=(1, 2, 3), keepdims=True))
+    y = y / jnp.where(nrm > delta, nrm, 1.0)
+    return evals, y.transpose(0, 2, 1, 3).reshape(B, chi, d, d, chi)
+
+
 def heff_matvec_reference(L, W, R, x):
     """XLA einsum reference of the same contraction (batched).
     Argument order (L, W, R, x); L[a,w,c], W[w,v,s,t], R[b,v,d],

@@ -98,21 +98,29 @@ def _batched_multi_mpo_jit(As_batch, Ws_batch, vL, vR, num_krylov_vecs,
 def batched_two_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
                            qr_impl: str = "polar",
                            ritz_impl: str = "power",
-                           reorth: bool = False):
+                           reorth: bool = False,
+                           lanczos_impl=None):
     """Two-site batched sweep; batched-default impls as in
-    :func:`batched_one_site_sweep`."""
+    :func:`batched_one_site_sweep` (incl. the fused Pallas Lanczos on
+    TPU)."""
+    if lanczos_impl is None:
+        lanczos_impl = ("fused" if jax.default_backend() == "tpu"
+                        else _dmrg.LANCZOS_IMPL)
     return _batched_two_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
-                                 qr_impl, ritz_impl, reorth)
+                                 qr_impl, ritz_impl, reorth, lanczos_impl)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth"))
+    static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth",
+                     "lanczos_impl"))
 def _batched_two_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
-                          qr_impl, ritz_impl, reorth=False):
+                          qr_impl, ritz_impl, reorth=False,
+                          lanczos_impl="xla"):
     fn = lambda As: _dmrg.two_site_sweep(
         As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
-        qr_impl=qr_impl, ritz_impl=ritz_impl, reorth=reorth)
+        qr_impl=qr_impl, ritz_impl=ritz_impl, reorth=reorth,
+        lanczos_impl=lanczos_impl)
     return jax.vmap(fn)(As_batch)
 
 

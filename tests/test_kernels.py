@@ -81,3 +81,42 @@ def test_fused_lanczos_breakdown_masking(rng):
         interpret=True)
     # <x|H|x> = evals[0] * 1 = 1.0 and x is exactly an eigenvector
     np.testing.assert_allclose(np.asarray(ev_k)[0], 1.0, atol=1e-5)
+
+
+def test_fused_lanczos_two_site_matches_xla(rng):
+    from tensornetwork_tpu.ops import krylov
+    from tensornetwork_tpu.models import dmrg as D
+
+    B, chi, d, M, m = 2, 10, 2, 3, 8
+    L = jnp.asarray(rng.standard_normal((B, chi, M, chi)), jnp.float32)
+    L = (L + L.transpose(0, 3, 2, 1)) / 2
+    R = jnp.asarray(rng.standard_normal((B, chi, M, chi)), jnp.float32)
+    R = (R + R.transpose(0, 3, 2, 1)) / 2
+    W1 = jnp.asarray(rng.standard_normal((M, M, d, d)), jnp.float32)
+    W2 = jnp.asarray(rng.standard_normal((M, M, d, d)), jnp.float32)
+    # Hermitian two-site operator: symmetrize the fused coupling by
+    # using W2 = W1 reversed appropriately is awkward; instead make each
+    # W (bra,ket)-symmetric and (left,right)-symmetric, which makes
+    # H = L.W1.W2.R Hermitian given Hermitian L, R.
+    W1 = (W1 + W1.transpose(1, 0, 3, 2)) / 2
+    W2 = (W2 + W2.transpose(1, 0, 3, 2)) / 2
+    x = jnp.asarray(rng.standard_normal((B, chi, d, d, chi)), jnp.float32)
+
+    def oracle(l, r, v):
+        mv = lambda z: D._matvec_2s(l, W1, W2, r, z)
+        return krylov.eigsh_lanczos(mv, v, num_krylov_vecs=m, numeig=1,
+                                    ritz_method="power",
+                                    reorthogonalize=False)
+
+    ev_o, vec_o = jax.vmap(oracle)(L, R, x)
+    ev_k, vec_k = K.fused_lanczos_ground_state_2s(
+        L, W1, W2, R, x, num_krylov_vecs=m, ritz_method="power",
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(ev_k).ravel(),
+                               np.asarray(ev_o).ravel(),
+                               rtol=2e-5, atol=1e-3)
+    vo, vk = np.asarray(vec_o)[:, 0], np.asarray(vec_k)
+    for i in range(B):
+        a, b = vo[i].ravel(), vk[i].ravel()
+        sign = np.sign(np.dot(a, b))
+        np.testing.assert_allclose(a, sign * b, atol=1e-4)
