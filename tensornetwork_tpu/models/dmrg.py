@@ -30,7 +30,9 @@ import numpy as np
 
 from tensornetwork_tpu.models.mpo import MPO
 from tensornetwork_tpu.ops import krylov
-from tensornetwork_tpu.ops.decompositions import svd_masked
+from tensornetwork_tpu.ops.decompositions import cholqr2 as _cholqr2
+from tensornetwork_tpu.ops.decompositions import (subspace_truncate,
+                                                  svd_masked)
 
 Array = jax.Array
 
@@ -75,37 +77,6 @@ def _boundary_left(chi: int, vL: Array) -> Array:
 
 def _boundary_right(chi: int, vR: Array) -> Array:
     return jnp.einsum("bd,v->bvd", jnp.eye(chi, dtype=vR.dtype), vR)
-
-
-def _cholqr2(m: Array) -> Tuple[Array, Array]:
-    """Cholesky-QR2: Q with orthonormal columns, R upper triangular.
-    Two passes restore f32 orthogonality (condition-squared of one pass);
-    on TPU the Gram matmuls ride the MXU while Householder QR serializes."""
-    n = m.shape[-1]
-    eye = jnp.eye(n, dtype=m.dtype)
-    G = jnp.conj(m.swapaxes(-1, -2)) @ m
-    # relative jitter keeps Cholesky finite on rank-deficient panels; the
-    # spurious directions are gauge-null (same as Householder's arbitrary
-    # orthogonal completion) and the second pass restores orthogonality.
-    # Dtype-aware floor: 1e-6 is below f32 rounding on ill-conditioned
-    # Grams (observed NaNs in B=256 batched sweeps) — use ~1e3*eps.
-    eps = jnp.finfo(m.dtype).eps
-    jfac = jnp.maximum(1e3 * eps, 1e-6).astype(m.dtype)
-    jit1 = (jnp.trace(G, axis1=-2, axis2=-1) / n)[..., None, None]
-    G = G + jfac * jit1 * eye
-    L = jnp.linalg.cholesky(G)
-    q1 = jax.lax.linalg.triangular_solve(
-        L, m.swapaxes(-1, -2), left_side=True, lower=True).swapaxes(-1, -2)
-    G2 = jnp.conj(q1.swapaxes(-1, -2)) @ q1
-    jfac2 = jnp.maximum(10 * eps, 1e-12).astype(m.dtype)
-    jit2 = (jnp.trace(G2, axis1=-2, axis2=-1) / n)[..., None, None]
-    G2 = G2 + jfac2 * jit2 * eye
-    L2 = jnp.linalg.cholesky(G2)
-    q2 = jax.lax.linalg.triangular_solve(
-        L2, q1.swapaxes(-1, -2), left_side=True, lower=True
-    ).swapaxes(-1, -2)
-    r = L2.swapaxes(-1, -2) @ L.swapaxes(-1, -2)
-    return q2, r
 
 
 def _ns_polar(m: Array, quintic_iters: Optional[int] = None,
@@ -159,6 +130,17 @@ MATVEC_PRECISION: Optional[str] = None  # None | "highest" | "high"
 # sweep stays at the forced "highest" (6-pass bf16 = f32-exact on MXU).
 # "high" (3-pass emulation) halves the dominant GEMM cost; measure energy
 # parity before adopting it for a new model class.  Resolved at call time.
+
+TRUNC_IMPL = "svd"  # "svd" | "subspace" — two-site bond truncation.
+# "svd" is the exact reference-semantics masked SVD; batched
+# (B,128,128) SVD/eigh serialize pathologically on TPU (218 ms per
+# batched call = 13.5 s per B=256 sweep).  "subspace" replaces it with
+# warm-started subspace iteration (matmuls + CholQR2 only, ~25x
+# faster): q spans the dominant rank-chi left subspace, q@rest equals
+# the truncated SVD as a projector, and the within-subspace basis
+# difference is MPS gauge.  Batched wrappers default to it on TPU.
+
+TRUNC_ITERS = 4  # subspace-iteration count for trunc_impl="subspace"
 
 LANCZOS_IMPL = "xla"  # "xla" | "fused"
 # "fused" runs the one-site local eigensolve through the Pallas
@@ -419,6 +401,8 @@ def two_site_sweep(
     reorth: bool = True,
     matvec_prec: Optional[str] = None,
     lanczos_impl: Optional[str] = None,
+    trunc_impl: Optional[str] = None,
+    trunc_iters: Optional[int] = None,
 ) -> SweepResult:
     """One full two-site DMRG sweep (reference ``run_two_site``,
     ``dmrg.py:445``).  Bond truncation back to the static ``chi`` uses the
@@ -431,30 +415,36 @@ def two_site_sweep(
     if lanczos_impl is None:
         lanczos_impl = ("fused" if jax.default_backend() == "tpu"
                         else LANCZOS_IMPL)
+    trunc_impl = TRUNC_IMPL if trunc_impl is None else trunc_impl
+    trunc_iters = TRUNC_ITERS if trunc_iters is None else trunc_iters
     interpret = jax.default_backend() != "tpu"
     return _two_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs,
                                boundary_envs, qr_impl, ritz_impl, reorth,
-                               matvec_prec, lanczos_impl, interpret)
+                               matvec_prec, lanczos_impl, interpret,
+                               trunc_impl, trunc_iters)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth",
-                     "matvec_prec", "lanczos_impl", "interpret"))
+                     "matvec_prec", "lanczos_impl", "interpret",
+                     "trunc_impl", "trunc_iters"))
 def _two_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs, boundary_envs,
                         qr_impl, ritz_impl, reorth=True, matvec_prec=None,
-                        lanczos_impl="xla", interpret=False):
+                        lanczos_impl="xla", interpret=False,
+                        trunc_impl="svd", trunc_iters=4):
     with jax.default_matmul_precision("highest"):
         return _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                                     boundary_envs, qr_impl, ritz_impl,
                                     reorth, matvec_prec, lanczos_impl,
-                                    interpret)
+                                    interpret, trunc_impl, trunc_iters)
 
 
 def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                          boundary_envs=None, qr_impl=None, ritz_impl=None,
                          reorth=True, matvec_prec=None,
-                         lanczos_impl="xla", interpret=False):
+                         lanczos_impl="xla", interpret=False,
+                         trunc_impl="svd", trunc_iters=4):
     if ritz_impl is None:
         ritz_impl = RITZ_IMPL
     N, chi, d, _ = As.shape
@@ -479,13 +469,24 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                                      num_krylov_vecs, ritz_impl, reorth,
                                      matvec_prec, lanczos_impl, interpret)
         th = th_opt.reshape(chi * d, d * chi)
-        res = svd_masked(th, max_singular_values=chi)
-        s_norm = jnp.linalg.norm(res.s)
-        s = res.s / jnp.where(s_norm > 0, s_norm, 1.0)
-        U = res.u.reshape(chi, d, chi)
-        SV = (s[:, None] * res.vh).reshape(chi, d, chi)
+        if trunc_impl == "subspace":
+            st = subspace_truncate(th, chi,
+                                   q0=pending.reshape(chi * d, chi),
+                                   iters=trunc_iters)
+            s_norm = jnp.linalg.norm(st.rest)
+            U = st.q.reshape(chi, d, chi)
+            SV = (st.rest / jnp.where(s_norm > 0, s_norm, 1.0)
+                  ).reshape(chi, d, chi)
+            tsq = st.trunc_sq_norm
+        else:
+            res = svd_masked(th, max_singular_values=chi)
+            s_norm = jnp.linalg.norm(res.s)
+            s = res.s / jnp.where(s_norm > 0, s_norm, 1.0)
+            U = res.u.reshape(chi, d, chi)
+            SV = (s[:, None] * res.vh).reshape(chi, d, chi)
+            tsq = res.trunc_sq_norm
         Lenv_new = _update_left(Lenv, U, W1)
-        terr = terr + res.trunc_sq_norm.astype(real_dtype)
+        terr = terr + tsq.astype(real_dtype)
         return (Lenv_new, SV, terr), (U, Lenv, E0)
 
     carry0 = (L0, As[0], jnp.zeros((), real_dtype))
@@ -510,13 +511,25 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                                      num_krylov_vecs, ritz_impl, reorth,
                                      matvec_prec, lanczos_impl, interpret)
         th = th_opt.reshape(chi * d, d * chi)
-        res = svd_masked(th, max_singular_values=chi)
-        s_norm = jnp.linalg.norm(res.s)
-        s = res.s / jnp.where(s_norm > 0, s_norm, 1.0)
-        US = (res.u * s[None, :]).reshape(chi, d, chi)
-        V = res.vh.reshape(chi, d, chi)
+        if trunc_impl == "subspace":
+            st = subspace_truncate(th.T, chi,
+                                   q0=pending.reshape(chi, d * chi).T,
+                                   iters=trunc_iters)
+            # th.T ~ q @ rest  =>  th ~ rest.T @ q.T = US @ V
+            s_norm = jnp.linalg.norm(st.rest)
+            US = (st.rest.T / jnp.where(s_norm > 0, s_norm, 1.0)
+                  ).reshape(chi, d, chi)
+            V = st.q.T.reshape(chi, d, chi)
+            tsq = st.trunc_sq_norm
+        else:
+            res = svd_masked(th, max_singular_values=chi)
+            s_norm = jnp.linalg.norm(res.s)
+            s = res.s / jnp.where(s_norm > 0, s_norm, 1.0)
+            US = (res.u * s[None, :]).reshape(chi, d, chi)
+            V = res.vh.reshape(chi, d, chi)
+            tsq = res.trunc_sq_norm
         Renv_new = _update_right(Renv, V, W2)
-        terr = terr + res.trunc_sq_norm.astype(real_dtype)
+        terr = terr + tsq.astype(real_dtype)
         return (Renv_new, US, terr), (V, E0)
 
     carry0 = (R0, As1[-1], terr_lr)

@@ -140,6 +140,37 @@ def eigh(tensor, pivot_axis: int = -1):
     return e, v.reshape(left + (v.shape[1],))
 
 
+def cholqr2(m: Array) -> Tuple[Array, Array]:
+    """Cholesky-QR2: Q with orthonormal columns, R upper triangular.
+    Two passes restore f32 orthogonality (condition-squared of one pass);
+    on TPU the Gram matmuls ride the MXU while Householder QR serializes."""
+    n = m.shape[-1]
+    eye = jnp.eye(n, dtype=m.dtype)
+    G = jnp.conj(m.swapaxes(-1, -2)) @ m
+    # relative jitter keeps Cholesky finite on rank-deficient panels; the
+    # spurious directions are gauge-null (same as Householder's arbitrary
+    # orthogonal completion) and the second pass restores orthogonality.
+    # Dtype-aware floor: 1e-6 is below f32 rounding on ill-conditioned
+    # Grams (observed NaNs in B=256 batched sweeps) — use ~1e3*eps.
+    eps = jnp.finfo(m.dtype).eps
+    jfac = jnp.maximum(1e3 * eps, 1e-6).astype(m.dtype)
+    jit1 = (jnp.trace(G, axis1=-2, axis2=-1) / n)[..., None, None]
+    G = G + jfac * jit1 * eye
+    L = jnp.linalg.cholesky(G)
+    q1 = jax.lax.linalg.triangular_solve(
+        L, m.swapaxes(-1, -2), left_side=True, lower=True).swapaxes(-1, -2)
+    G2 = jnp.conj(q1.swapaxes(-1, -2)) @ q1
+    jfac2 = jnp.maximum(10 * eps, 1e-12).astype(m.dtype)
+    jit2 = (jnp.trace(G2, axis1=-2, axis2=-1) / n)[..., None, None]
+    G2 = G2 + jfac2 * jit2 * eye
+    L2 = jnp.linalg.cholesky(G2)
+    q2 = jax.lax.linalg.triangular_solve(
+        L2, q1.swapaxes(-1, -2), left_side=True, lower=True
+    ).swapaxes(-1, -2)
+    r = L2.swapaxes(-1, -2) @ L.swapaxes(-1, -2)
+    return q2, r
+
+
 class MaskedSVD(NamedTuple):
     """Static-shape truncated SVD result.
 
@@ -293,3 +324,68 @@ def ns_polar_complete(m: jax.Array, quintic_iters: Optional[int] = None,
         Q = 0.5 * Q @ (3.0 * eye - G)
     P = jnp.swapaxes(Q, -1, -2) @ m
     return Q, P
+
+
+class SubspaceTrunc(NamedTuple):
+    """Matmul-only truncation result: ``q``: [..., m, k] isometry spanning
+    (an approximation of) the dominant rank-k left-singular subspace,
+    ``rest``: [..., k, n] with ``q @ rest`` the projected matrix,
+    ``trunc_sq_norm``: [...] discarded squared norm."""
+    q: jax.Array
+    rest: jax.Array
+    trunc_sq_norm: jax.Array
+
+
+def subspace_truncate(matrix, k: int, q0=None, iters: int = 6,
+                      key=None, power: int = 1,
+                      orth: str = "qr") -> SubspaceTrunc:
+    """Rank-``k`` truncation by warm-started subspace iteration —
+    matmuls + Cholesky-QR only, no batched SVD/eigh (which serialize
+    pathologically on TPU; measured in BASELINE.md).
+
+    Equivalent to the truncated SVD *as a projector*: if ``u s vh`` is
+    the SVD, then ``q @ rest == u_k s_k vh_k`` up to convergence of the
+    iteration (exact in the spectral-gap limit; warm starts from the
+    previous sweep's site tensors make 2-6 iterations sufficient inside
+    DMRG).  The within-subspace basis of ``q`` is NOT the singular basis
+    — downstream must treat it as gauge (MPS updates do).
+
+    ``q0``: [..., m, k] warm start (need not be orthonormal).  Falls
+    back to the first ``k`` columns of the identity (+ optional random
+    perturbation from ``key``) when None.  ``power``: applications of
+    the Gram matrix per orthogonalization — numerically unsafe at f32
+    (squared spectrum collapses; measured garbage on chip), keep 1.
+    ``orth``: per-iteration orthonormalizer.  "qr" (batched Householder)
+    is the default — DMRG thetas have numerical rank ~k (they are built
+    from rank-k pieces), every iterate is rank-deficient, and
+    Cholesky-based orthonormalization NaNs on the null space at f32;
+    Householder completes it exactly.  "cholqr2" is the matmul-only
+    fast path for full-rank inputs.
+    """
+    m = matrix.shape[-2]
+    batch = matrix.shape[:-2]
+    if q0 is None:
+        q0 = jnp.broadcast_to(
+            jnp.eye(m, k, dtype=matrix.dtype),
+            batch + (m, k))
+        if key is not None:
+            q0 = q0 + 0.01 * jax.random.normal(key, q0.shape,
+                                               matrix.dtype)
+    G = matrix @ jnp.swapaxes(matrix, -1, -2)
+    # normalize so repeated applications stay in range (f32)
+    gnorm = jnp.linalg.norm(G, axis=(-2, -1), keepdims=True)
+    Gn = G / jnp.where(gnorm > 0, gnorm, 1.0)
+    orth_fn = (cholqr2 if orth == "cholqr2"
+               else lambda y: jnp.linalg.qr(y))
+    q = q0
+    for _ in range(iters):
+        y = Gn @ q
+        if power > 1:
+            for _ in range(power - 1):
+                y = Gn @ y
+        q = orth_fn(y)[0]
+    rest = jnp.swapaxes(q, -1, -2) @ matrix
+    trunc = (jnp.sum(matrix * matrix, axis=(-2, -1))
+             - jnp.sum(rest * rest, axis=(-2, -1)))
+    trunc = jnp.maximum(trunc, 0.0)
+    return SubspaceTrunc(q, rest, trunc)

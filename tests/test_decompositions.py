@@ -115,3 +115,45 @@ def test_svd_masked_batched(rng):
         full_s = np.linalg.svd(t[b], compute_uv=False)
         np.testing.assert_allclose(np.asarray(res.s)[b], full_s[:3],
                                    rtol=1e-10)
+
+
+def test_subspace_truncate_matches_svd_projector():
+    import jax.numpy as jnp
+    from tensornetwork_tpu.ops.decompositions import subspace_truncate
+    rng = np.random.default_rng(0)
+    B, n, k = 4, 32, 16
+    u, _ = np.linalg.qr(rng.standard_normal((B, n, n)))
+    v, _ = np.linalg.qr(rng.standard_normal((B, n, n)))
+    s = np.exp(-0.4 * np.arange(n))
+    th = jnp.asarray(u * s[None, None, :] @ v)
+    res = subspace_truncate(th, k, iters=10)
+    uo, so, vho = np.linalg.svd(np.asarray(th))
+    ref = uo[:, :, :k] * so[:, None, :k] @ vho[:, :k]
+    got = np.asarray(res.q @ res.rest)
+    # q @ rest equals the truncated SVD as a projector (within the
+    # subspace-iteration convergence at this spectral gap; tests run in
+    # f32 — the f64 floor is ~1e-8)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.trunc_sq_norm),
+                               (so[:, k:] ** 2).sum(-1), rtol=1e-2,
+                               atol=1e-9)
+    # q is an isometry
+    g = np.einsum("bij,bik->bjk", np.asarray(res.q), np.asarray(res.q))
+    np.testing.assert_allclose(g, np.broadcast_to(np.eye(k), (B, k, k)),
+                               atol=1e-10)
+
+
+def test_subspace_truncate_warm_start_few_iters():
+    import jax.numpy as jnp
+    from tensornetwork_tpu.ops.decompositions import subspace_truncate
+    rng = np.random.default_rng(1)
+    n, k = 24, 8
+    u, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    v, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    s = np.exp(-0.5 * np.arange(n))
+    th = jnp.asarray(u * s[None, :] @ v)
+    q0 = jnp.asarray(u[:, :k] + 0.05 * rng.standard_normal((n, k)))
+    res = subspace_truncate(th, k, q0=q0, iters=2)
+    ref = (u[:, :k] * s[None, :k]) @ v[:k]
+    np.testing.assert_allclose(np.asarray(res.q @ res.rest), ref,
+                               atol=1e-4)

@@ -213,3 +213,20 @@ def test_one_site_dmrg_matvec_precision_knob():
                                  num_krylov_vecs=20, matvec_prec=prec)
             As = res.As
         np.testing.assert_allclose(float(res.energy), exact, rtol=1e-6)
+
+
+def test_two_site_dmrg_subspace_truncation():
+    # matmul-only truncation path (TPU batched default): converges to
+    # the exact ground energy within the inexact-projector floor (~1e-9
+    # at f64, far below the f32 on-chip floor).
+    from tensornetwork_tpu.models.dmrg import two_site_sweep
+    N, chi = 8, 12
+    mpo = FiniteTFI(Jx=-1.0, Bz=-1.0, N=N)  # critical point, worst gaps
+    exact = exact_ground_energy(mpo)
+    As = random_mps_stack(jax.random.PRNGKey(4), N, chi)
+    for _ in range(8):
+        res = two_site_sweep(As, mpo.Ws, mpo.vL, mpo.vR,
+                             num_krylov_vecs=16, trunc_impl="subspace",
+                             trunc_iters=6)
+        As = res.As
+    np.testing.assert_allclose(float(res.energy), exact, rtol=1e-7)
