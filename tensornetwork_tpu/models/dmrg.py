@@ -131,6 +131,18 @@ MATVEC_PRECISION: Optional[str] = None  # None | "highest" | "high"
 # "high" (3-pass emulation) halves the dominant GEMM cost; measure energy
 # parity before adopting it for a new model class.  Resolved at call time.
 
+EPILOGUE_IMPL = "xla"  # "xla" | "fused" — per-site gauge-shift + env
+# growth.  "fused" = the Pallas fused polar+env kernel
+# (ops.kernels.make_fused_gauge_env).  MEASURED SLOWER than XLA on TPU
+# v5e (B=256 chi=64: 627 vs 438 ms/sweep even with full-panel GEMMs):
+# the polar iteration is a chain of 21 *dependent* small GEMMs, and the
+# sequential grid (one instance per program) exposes that latency,
+# while XLA pipelines the MXU across instances within each iteration.
+# Fusion pays only when each dependency step carries enough parallel
+# work (the Lanczos kernel's 12-GEMM matvecs) — not for iteration
+# chains of single small GEMMs.  Kept opt-in; only applies when
+# qr_impl == "polar".
+
 TRUNC_IMPL = "svd"  # "svd" | "subspace" — two-site bond truncation.
 # "svd" is the exact reference-semantics masked SVD; batched
 # (B,128,128) SVD/eigh serialize pathologically on TPU (218 ms per
@@ -236,10 +248,52 @@ def _local_solve_2s(Lenv: Array, W1: Array, W2: Array, Renv: Array,
     return evals[0], evecs[0]
 
 
+def _gauge_env_left(Lenv: Array, W: Array, A: Array, qr_impl: str,
+                    epilogue_impl: str, interpret: bool
+                    ) -> Tuple[Array, Array, Array]:
+    """Gauge-shift right (A = Q·Rm) + grow the left env with Q.
+    Fused-kernel path when epilogue_impl == "fused" and the shift is the
+    polar one (see EPILOGUE_IMPL)."""
+    chi, d = A.shape[0], A.shape[1]
+    M = W.shape[0]
+    vmem_bytes = 4 * chi * chi * (2 * M + 4 * d + 2 * M * d)
+    if (epilogue_impl == "fused" and qr_impl == "polar"
+            and vmem_bytes <= 12 * 2**20):
+        from tensornetwork_tpu.ops import kernels
+        qi, ci = (14, 7) if A.dtype == jnp.float32 else (20, 10)
+        Q, P, Lnew = kernels.fused_gauge_env_left(
+            Lenv[None], W, A[None], quintic_iters=qi, cubic_iters=ci,
+            interpret=interpret, precision=jax.lax.Precision.HIGHEST)
+        return Q[0], P[0], Lnew[0]
+    Q, Rm = _qr_shift_right(A, impl=qr_impl)
+    return Q, Rm, _update_left(Lenv, Q, W)
+
+
+def _gauge_env_right(Renv: Array, W: Array, A: Array, qr_impl: str,
+                     epilogue_impl: str, interpret: bool
+                     ) -> Tuple[Array, Array, Array]:
+    """Gauge-shift left (A = Lm·Q) + grow the right env with Q."""
+    chi, d = A.shape[0], A.shape[1]
+    M = W.shape[0]
+    vmem_bytes = 4 * chi * chi * (2 * M + 4 * d + 2 * M * d)
+    if (epilogue_impl == "fused" and qr_impl == "polar"
+            and vmem_bytes <= 12 * 2**20):
+        from tensornetwork_tpu.ops import kernels
+        qi, ci = (14, 7) if A.dtype == jnp.float32 else (20, 10)
+        Q, Lm, Rnew = kernels.fused_gauge_env_right(
+            Renv[None], W, A[None], quintic_iters=qi, cubic_iters=ci,
+            interpret=interpret, precision=jax.lax.Precision.HIGHEST)
+        return Q[0], Lm[0], Rnew[0]
+    Lm, Q = _rq_shift_left(A, impl=qr_impl)
+    return Q, Lm, _update_right(Renv, Q, W)
+
+
 def right_canonicalize_and_envs(
     As: Array, Ws: Array, vL: Array, vR: Array,
     R0: Optional[Array] = None,
     qr_impl: Optional[str] = None,
+    epilogue_impl: str = "xla",
+    interpret: bool = False,
 ) -> Tuple[Array, Array]:
     """One reverse scan: bring all sites to right-canonical form and emit the
     right environment stack ``Renvs[i]`` = env of sites > i.  ``R0``
@@ -255,8 +309,8 @@ def right_canonicalize_and_envs(
         A = jnp.einsum("asb,bc->asc", A, Lm)
         nrm = jnp.linalg.norm(A)
         A = A / jnp.where(nrm > 0, nrm, 1.0)
-        Lm_new, Q = _rq_shift_left(A, impl=qr_impl)
-        Renv_new = _update_right(Renv, Q, W)
+        Q, Lm_new, Renv_new = _gauge_env_right(
+            Renv, W, A, qr_impl or QR_IMPL, epilogue_impl, interpret)
         return (Renv_new, Lm_new), (Q, Renv)
 
     (_, Lm_final), (Qs, Renvs) = jax.lax.scan(body, (R0, Lm0), (As, Ws),
@@ -283,6 +337,7 @@ def one_site_sweep(
     reorth: bool = True,
     matvec_prec: Optional[str] = None,
     lanczos_impl: Optional[str] = None,
+    epilogue_impl: Optional[str] = None,
 ) -> SweepResult:
     """One full (left-to-right + right-to-left) one-site DMRG sweep as a
     single XLA computation (reference ``run_one_site``, ``dmrg.py:345``).
@@ -307,31 +362,37 @@ def one_site_sweep(
         # mode, so the module default ("xla") applies there.
         lanczos_impl = ("fused" if jax.default_backend() == "tpu"
                         else LANCZOS_IMPL)
+    if epilogue_impl is None:
+        epilogue_impl = EPILOGUE_IMPL
     # Pallas runs in interpret mode off-TPU (CPU tests / virtual meshes).
     interpret = jax.default_backend() != "tpu"
     return _one_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs,
                                boundary_envs, qr_impl, ritz_impl, reorth,
-                               matvec_prec, lanczos_impl, interpret)
+                               matvec_prec, lanczos_impl, interpret,
+                               epilogue_impl)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth",
-                     "matvec_prec", "lanczos_impl", "interpret"))
+                     "matvec_prec", "lanczos_impl", "interpret",
+                     "epilogue_impl"))
 def _one_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs, boundary_envs,
                         qr_impl, ritz_impl, reorth=True, matvec_prec=None,
-                        lanczos_impl="xla", interpret=False):
+                        lanczos_impl="xla", interpret=False,
+                        epilogue_impl="xla"):
     with jax.default_matmul_precision("highest"):
         return _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                                     boundary_envs, qr_impl, ritz_impl,
                                     reorth, matvec_prec, lanczos_impl,
-                                    interpret)
+                                    interpret, epilogue_impl)
 
 
 def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                          boundary_envs=None, qr_impl=None, ritz_impl=None,
                          reorth=True, matvec_prec=None,
-                         lanczos_impl="xla", interpret=False):
+                         lanczos_impl="xla", interpret=False,
+                         epilogue_impl="xla"):
     if ritz_impl is None:
         ritz_impl = RITZ_IMPL
     # Lanczos is precision-critical: bf16 MXU passes make the tridiagonal
@@ -341,7 +402,8 @@ def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
     As, Renvs = right_canonicalize_and_envs(
         As, Ws, vL, vR,
         R0=None if boundary_envs is None else boundary_envs[1],
-        qr_impl=qr_impl)
+        qr_impl=qr_impl, epilogue_impl=epilogue_impl,
+        interpret=interpret)
     if boundary_envs is None:
         L0 = _boundary_left(chi, vL)
     else:
@@ -357,8 +419,8 @@ def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         E0, A_opt = _local_solve_1s(Lenv, W, Renv, A, num_krylov_vecs,
                                     ritz_impl, reorth, matvec_prec,
                                     lanczos_impl, interpret)
-        Q, Rm_new = _qr_shift_right(A_opt, impl=qr_impl)
-        Lenv_new = _update_left(Lenv, Q, W)
+        Q, Rm_new, Lenv_new = _gauge_env_left(
+            Lenv, W, A_opt, qr_impl or QR_IMPL, epilogue_impl, interpret)
         return (Lenv_new, Rm_new), (Q, Lenv, E0)
 
     (_, Rm_last), (As1, Lenvs, Es_lr) = jax.lax.scan(
@@ -378,8 +440,8 @@ def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         E0, A_opt = _local_solve_1s(Lenv, W, Renv, A, num_krylov_vecs,
                                     ritz_impl, reorth, matvec_prec,
                                     lanczos_impl, interpret)
-        Lm_new, Q = _rq_shift_left(A_opt, impl=qr_impl)
-        Renv_new = _update_right(Renv, Q, W)
+        Q, Lm_new, Renv_new = _gauge_env_right(
+            Renv, W, A_opt, qr_impl or QR_IMPL, epilogue_impl, interpret)
         return (Renv_new, Lm_new), (Q, E0)
 
     # seed the reverse pass with the left-over center factor of the forward

@@ -333,6 +333,153 @@ def fused_lanczos_ground_state_2s(L, W1, W2, R, x0, num_krylov_vecs: int,
     return evals, y.transpose(0, 2, 1, 3).reshape(B, chi, d, d, chi)
 
 
+def make_fused_gauge_env(chi: int, d: int, M: int,
+                         quintic_iters: int = 14, cubic_iters: int = 7,
+                         accum_dtype=jnp.float32,
+                         interpret: bool = False, precision=None):
+    """Fused site epilogue: Newton-Schulz polar gauge shift + MPO
+    environment growth, entirely in VMEM (one grid program per
+    instance).  The polar iterations operate on the full (d*chi, chi)
+    panel (single large GEMMs, matching XLA's schedule) while X stays
+    resident in VMEM across all iterations.
+
+    Kernel-layout operands (per instance):
+      W: (M, M, d, d) SMEM couplings
+      E: (M, chi, chi) env tiles [w](edge_in, edge_out)
+      A: (d*chi, chi) panel, rows s-major: row (s*chi + edge_in)
+    Outputs:
+      Q: (d*chi, chi) isometric panel (same row order)
+      P: (chi, chi) residual factor, A = Q·P
+      Enew: (M, chi, chi) grown env tiles [v](new_in, new_out)
+
+    One kernel serves both sweep directions — the wrappers transpose
+    operands and permute W so the in-kernel pattern is identical.
+    """
+    a_c, b_c, c_c = 3.4445, -4.7750, 2.0315  # quintic coefficients
+
+    def kernel(W_ref, E_ref, A_ref, Q_ref, P_ref, Enew_ref):
+        dot = lambda x, y: jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=accum_dtype)
+        dotT = lambda x, y: jax.lax.dot_general(  # contract dim0 of both
+            x, y, (((0,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=accum_dtype)
+
+        A = A_ref[0].astype(accum_dtype)          # (d*chi, chi)
+        nrm2 = jnp.sum(A * A)
+        inv = 1.0 / (jnp.sqrt(nrm2) * 1.01 + 1e-30)
+        X = A * inv
+        for _ in range(quintic_iters):
+            G = dotT(X, X)
+            Mx = b_c * G + c_c * dot(G, G)
+            X = a_c * X + dot(X, Mx)
+        for _ in range(cubic_iters):
+            G = dotT(X, X)
+            X = 1.5 * X - 0.5 * dot(X, G)
+        Q_ref[0] = X.astype(Q_ref.dtype)
+        P_ref[0] = dotT(X, A).astype(P_ref.dtype)
+        # env growth on per-physical slices of the converged panel:
+        # U[w][t] = X_t^T E_w ; acc[v][s] = sum_wt W.U ;
+        # Enew[v] = sum_s acc[v][s] . X_s
+        Xs = [X[s * chi:(s + 1) * chi, :] for s in range(d)]
+        U = [[dotT(Xs[t], E_ref[0, w]) for t in range(d)]
+             for w in range(M)]
+        for v in range(M):
+            acc_v = None
+            for s in range(d):
+                Qv = None
+                for w in range(M):
+                    for t in range(d):
+                        term = W_ref[w, v, s, t] * U[w][t]
+                        Qv = term if Qv is None else Qv + term
+                contrib = dot(Qv, Xs[s])
+                acc_v = contrib if acc_v is None else acc_v + contrib
+            Enew_ref[0, v] = acc_v.astype(Enew_ref.dtype)
+
+    @jax.jit
+    def f(W, E, A):
+        B = A.shape[0]
+
+        def bs(lead, shape):
+            return pl.BlockSpec(
+                (1, lead) + shape,
+                lambda i: (i, 0) + (0,) * len(shape),
+                memory_space=pltpu.VMEM)
+
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((M, M, d, d), lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.SMEM),
+                bs(M, (chi, chi)),
+                pl.BlockSpec((1, d * chi, chi), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, d * chi, chi), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chi, chi), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                bs(M, (chi, chi)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, d * chi, chi), A.dtype),
+                jax.ShapeDtypeStruct((B, chi, chi), A.dtype),
+                jax.ShapeDtypeStruct((B, M, chi, chi), A.dtype),
+            ],
+            interpret=interpret,
+        )(W, E, A)
+
+    return f
+
+
+def fused_gauge_env_left(L, W, A, quintic_iters: int = 14,
+                         cubic_iters: int = 7, interpret: bool = False,
+                         precision=None):
+    """Batched left-moving epilogue: ``A = Q·Rm`` (left-isometric Q) +
+    ``Lnew = update_left(L, Q, W)``.  Solver layouts: L (B,a,M,c),
+    W (M,M,s,t), A (B,a,s,b).  Returns (Q (B,a,s,r), Rm (B,r,b),
+    Lnew (B,r,M,p))."""
+    B, chi, M, _ = L.shape
+    d = A.shape[2]
+    accum = A.dtype if A.dtype == jnp.float64 else jnp.float32
+    fk = make_fused_gauge_env(chi, d, M, quintic_iters, cubic_iters,
+                              accum_dtype=accum,
+                              interpret=interpret, precision=precision)
+    E = L.transpose(0, 2, 1, 3)                      # [w](a, c)
+    Ap = A.transpose(0, 2, 1, 3).reshape(B, d * chi, chi)  # rows (s, a)
+    Qp, P, Enew = fk(W, E, Ap)
+    Q = Qp.reshape(B, d, chi, chi).transpose(0, 2, 1, 3)   # (B, a, s, r)
+    Lnew = Enew.transpose(0, 2, 1, 3)                # (B, r, M, p)
+    return Q, P, Lnew
+
+
+def fused_gauge_env_right(R, W, A, quintic_iters: int = 14,
+                          cubic_iters: int = 7, interpret: bool = False,
+                          precision=None):
+    """Batched right-moving epilogue: ``A = Lm·Q`` (right-isometric Q) +
+    ``Rnew = update_right(R, Q, W)``.  Solver layouts: R (B,b,M,d),
+    W (M,M,s,t), A (B,a,s,b).  Returns (Q (B,l,s,b), Lm (B,a,l),
+    Rnew (B,l,M,p))."""
+    B, chi, M, _ = R.shape
+    d = A.shape[2]
+    accum = A.dtype if A.dtype == jnp.float64 else jnp.float32
+    fk = make_fused_gauge_env(chi, d, M, quintic_iters, cubic_iters,
+                              accum_dtype=accum,
+                              interpret=interpret, precision=precision)
+    E = R.transpose(0, 2, 1, 3)                      # [v](b, d)
+    Ap = A.transpose(0, 2, 3, 1).reshape(B, d * chi, chi)  # rows (t, b)
+    # kernel coupling convention is [summed_env, out_env, bra, ket];
+    # update_right sums over v and emits w, so only the bond pair swaps
+    Weff = W.transpose(1, 0, 2, 3)
+    Qp, P, Enew = fk(Weff, E, Ap)
+    Q = Qp.reshape(B, d, chi, chi).transpose(0, 3, 1, 2)   # (B, l, t, b)
+    Lm = P.transpose(0, 2, 1)                        # (l, a) -> (a, l)
+    Rnew = Enew.transpose(0, 2, 1, 3)                # (B, l, M, p)
+    return Q, Lm, Rnew
+
+
 def heff_matvec_reference(L, W, R, x):
     """XLA einsum reference of the same contraction (batched).
     Argument order (L, W, R, x); L[a,w,c], W[w,v,s,t], R[b,v,d],

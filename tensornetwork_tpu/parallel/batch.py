@@ -27,7 +27,8 @@ def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
                            ritz_impl: str = "power",
                            reorth: bool = False,
                            matvec_prec=None,
-                           lanczos_impl=None):
+                           lanczos_impl=None,
+                           epilogue_impl=None):
     """One-site DMRG sweep over a batch of MPS instances.
 
     ``As_batch``: (B, N, chi, d, chi); MPO shared across the batch.
@@ -56,22 +57,26 @@ def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
         # interpret mode, so fall back to the module default.
         lanczos_impl = ("fused" if jax.default_backend() == "tpu"
                         else _dmrg.LANCZOS_IMPL)
+    if epilogue_impl is None:
+        epilogue_impl = _dmrg.EPILOGUE_IMPL
     return _batched_one_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
                                  qr_impl, ritz_impl, reorth, matvec_prec,
-                                 lanczos_impl)
+                                 lanczos_impl, epilogue_impl)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth",
-                     "matvec_prec", "lanczos_impl"))
+                     "matvec_prec", "lanczos_impl", "epilogue_impl"))
 def _batched_one_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
                           qr_impl, ritz_impl, reorth=False,
-                          matvec_prec=None, lanczos_impl="xla"):
+                          matvec_prec=None, lanczos_impl="xla",
+                          epilogue_impl="xla"):
     fn = lambda As: _dmrg.one_site_sweep(
         As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
         qr_impl=qr_impl, ritz_impl=ritz_impl, reorth=reorth,
-        matvec_prec=matvec_prec, lanczos_impl=lanczos_impl)
+        matvec_prec=matvec_prec, lanczos_impl=lanczos_impl,
+        epilogue_impl=epilogue_impl)
     return jax.vmap(fn)(As_batch)
 
 
