@@ -51,11 +51,18 @@ def main():
     e0 = float(res.energy)
     log(f"single-instance warmup (compile): {time.perf_counter() - t0:.1f}s, "
         f"E after sweep 1 = {e0:.8f}")
+    # warm the chained-sweep variant (renvs != None is its own trace)
+    res = one_site_sweep(As, mpo.Ws, mpo.vL, mpo.vR, num_krylov_vecs=m,
+                         renvs=res.renvs)
+    As = res.As
+    jax.block_until_ready(As)
     k = 10
+    rv = res.renvs
     t0 = time.perf_counter()
     for _ in range(k):
-        res = one_site_sweep(As, mpo.Ws, mpo.vL, mpo.vR, num_krylov_vecs=m)
-        As = res.As
+        res = one_site_sweep(As, mpo.Ws, mpo.vL, mpo.vR, num_krylov_vecs=m,
+                             renvs=rv)
+        As, rv = res.As, res.renvs
     jax.block_until_ready(As)
     single_rate = k / (time.perf_counter() - t0)
     e_single = float(res.energy)
@@ -74,12 +81,17 @@ def main():
     jax.block_until_ready(res.As)
     log(f"batched (B={B}) compile: {time.perf_counter() - t0:.1f}s")
     As_b = res.As
+    res = batched_one_site_sweep(As_b, mpo.Ws, mpo.vL, mpo.vR,
+                                 num_krylov_vecs=m, renvs=res.renvs)
+    jax.block_until_ready(res.As)
+    As_b = res.As
+    rv = res.renvs
     k = 4
     t0 = time.perf_counter()
     for _ in range(k):
         res = batched_one_site_sweep(As_b, mpo.Ws, mpo.vL, mpo.vR,
-                                     num_krylov_vecs=m)
-        As_b = res.As
+                                     num_krylov_vecs=m, renvs=rv)
+        As_b, rv = res.As, res.renvs
     jax.block_until_ready(As_b)
     agg_rate = B * k / (time.perf_counter() - t0)
     energies = np.asarray(jax.device_get(res.energy))

@@ -28,7 +28,8 @@ def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
                            reorth: bool = False,
                            matvec_prec=None,
                            lanczos_impl=None,
-                           epilogue_impl=None):
+                           epilogue_impl=None,
+                           renvs=None):
     """One-site DMRG sweep over a batch of MPS instances.
 
     ``As_batch``: (B, N, chi, d, chi); MPO shared across the batch.
@@ -61,7 +62,7 @@ def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
         epilogue_impl = _dmrg.EPILOGUE_IMPL
     return _batched_one_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
                                  qr_impl, ritz_impl, reorth, matvec_prec,
-                                 lanczos_impl, epilogue_impl)
+                                 lanczos_impl, epilogue_impl, renvs)
 
 
 @functools.partial(
@@ -71,13 +72,20 @@ def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
 def _batched_one_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
                           qr_impl, ritz_impl, reorth=False,
                           matvec_prec=None, lanczos_impl="xla",
-                          epilogue_impl="xla"):
-    fn = lambda As: _dmrg.one_site_sweep(
+                          epilogue_impl="xla", renvs=None):
+    if renvs is None:
+        fn = lambda As: _dmrg.one_site_sweep(
+            As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
+            qr_impl=qr_impl, ritz_impl=ritz_impl, reorth=reorth,
+            matvec_prec=matvec_prec, lanczos_impl=lanczos_impl,
+            epilogue_impl=epilogue_impl)
+        return jax.vmap(fn)(As_batch)
+    fn = lambda As, rv: _dmrg.one_site_sweep(
         As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
         qr_impl=qr_impl, ritz_impl=ritz_impl, reorth=reorth,
         matvec_prec=matvec_prec, lanczos_impl=lanczos_impl,
-        epilogue_impl=epilogue_impl)
-    return jax.vmap(fn)(As_batch)
+        epilogue_impl=epilogue_impl, renvs=rv)
+    return jax.vmap(fn)(As_batch, renvs)
 
 
 def batched_one_site_sweep_multi_mpo(As_batch, Ws_batch, vL, vR,
