@@ -45,11 +45,50 @@ def _renorm(x: Array) -> Array:
     return x / jnp.where(n > 0, n, 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("num_krylov_vecs", "imaginary"))
+
+def _expm_local(Lenv, W, Renv, v, coeff, m, lanczos_impl, interpret,
+                real_coeff):
+    """Local ``exp(coeff*H_eff) v`` — fused Pallas kernel when enabled
+    (real coeff only: imaginary-time path); XLA Lanczos otherwise."""
+    if lanczos_impl == "fused" and real_coeff:
+        chi, d = v.shape[0], v.shape[1]
+        M = W.shape[0]
+        vmem = 4 * chi * chi * (2 * M + d * (m + 4))
+        if vmem <= 12 * 2**20:
+            from tensornetwork_tpu.ops import kernels
+            return kernels.expm_multiply_fused(
+                Lenv[None], W, Renv[None], v[None], coeff, m,
+                interpret=interpret,
+                precision=jax.lax.Precision.HIGHEST)[0]
+    mv = lambda x: _matvec_1s(Lenv, W, Renv, x)
+    return expm_multiply_lanczos(mv, v, coeff, m)
+
+
+def _expm_local_C(Lenv, Renv, v, coeff, m, lanczos_impl, interpret,
+                  real_coeff):
+    """Zero-site variant: the bond operator L·x·R is the same sandwich
+    with one physical tile and identity MPO couplings."""
+    if lanczos_impl == "fused" and real_coeff:
+        chi = v.shape[0]
+        M = Lenv.shape[1]
+        vmem = 4 * chi * chi * (2 * M + (m + 4))
+        if vmem <= 12 * 2**20:
+            from tensornetwork_tpu.ops import kernels
+            W_eye = jnp.eye(M, dtype=v.dtype).reshape(M, M, 1, 1)
+            y = kernels.expm_multiply_fused(
+                Lenv[None], W_eye, Renv[None],
+                v[None, :, None, :], coeff, m, interpret=interpret,
+                precision=jax.lax.Precision.HIGHEST)
+            return y[0, :, 0, :]
+    mvc = lambda x: _matvec_C(Lenv, Renv, x)
+    return expm_multiply_lanczos(mvc, v, coeff, m)
+
+
 def tdvp_one_site_sweep(
     As: Array, Ws: Array, vL: Array, vR: Array, dt,
     num_krylov_vecs: int = 20, imaginary: bool = False,
     boundary_envs: Optional[Tuple[Array, Array]] = None,
+    lanczos_impl: Optional[str] = None,
 ) -> Array:
     """One symmetric one-site TDVP sweep evolving the state by ``dt``.
 
@@ -60,13 +99,28 @@ def tdvp_one_site_sweep(
     right-canonical stack.  ``boundary_envs`` as in
     :func:`tensornetwork_tpu.models.dmrg.one_site_sweep`.
     """
+    if lanczos_impl is None:
+        lanczos_impl = ("fused" if jax.default_backend() == "tpu"
+                        else "xla")
+    interpret = jax.default_backend() != "tpu"
+    return _tdvp_one_site_jit(As, Ws, vL, vR, dt, num_krylov_vecs,
+                              imaginary, boundary_envs, lanczos_impl,
+                              interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_krylov_vecs", "imaginary", "lanczos_impl", "interpret"))
+def _tdvp_one_site_jit(As, Ws, vL, vR, dt, num_krylov_vecs, imaginary,
+                       boundary_envs, lanczos_impl, interpret):
     with jax.default_matmul_precision("highest"):
         return _tdvp_sweep_impl(As, Ws, vL, vR, dt, num_krylov_vecs,
-                                imaginary, boundary_envs)
+                                imaginary, boundary_envs, lanczos_impl,
+                                interpret)
 
 
 def _tdvp_sweep_impl(As, Ws, vL, vR, dt, num_krylov_vecs, imaginary,
-                     boundary_envs=None):
+                     boundary_envs=None, lanczos_impl="xla",
+                     interpret=False):
     N, chi, d, _ = As.shape
     if imaginary:
         cf = jnp.asarray(-0.5 * dt)            # forward half step
@@ -94,13 +148,13 @@ def _tdvp_sweep_impl(As, Ws, vL, vR, dt, num_krylov_vecs, imaginary,
         A, W, Renv, cb_i = inputs
         AC = jnp.einsum("ab,bsc->asc", C, A)
         AC = _renorm(AC)
-        mv = lambda x: _matvec_1s(Lenv, W, Renv, x)
-        AC = expm_multiply_lanczos(mv, AC, cf, num_krylov_vecs)
+        AC = _expm_local(Lenv, W, Renv, AC, cf, num_krylov_vecs,
+                         lanczos_impl, interpret, imaginary)
         AC = _renorm(AC)
         AL, Cn = _qr_shift_right(AC)
         Lenv_new = _update_left(Lenv, AL, W)
-        mvc = lambda x: _matvec_C(Lenv_new, Renv, x)
-        Cn = expm_multiply_lanczos(mvc, Cn, cb_i, num_krylov_vecs)
+        Cn = _expm_local_C(Lenv_new, Renv, Cn, cb_i, num_krylov_vecs,
+                           lanczos_impl, interpret, imaginary)
         Cn = _renorm(Cn)
         return (Lenv_new, Cn), (AL, Lenv)
 
@@ -115,13 +169,13 @@ def _tdvp_sweep_impl(As, Ws, vL, vR, dt, num_krylov_vecs, imaginary,
         A, W, Lenv, cb_i = inputs
         AC = jnp.einsum("asb,bc->asc", A, C)
         AC = _renorm(AC)
-        mv = lambda x: _matvec_1s(Lenv, W, Renv, x)
-        AC = expm_multiply_lanczos(mv, AC, cf, num_krylov_vecs)
+        AC = _expm_local(Lenv, W, Renv, AC, cf, num_krylov_vecs,
+                         lanczos_impl, interpret, imaginary)
         AC = _renorm(AC)
         Cn, AR = _rq_shift_left(AC)
         Renv_new = _update_right(Renv, AR, W)
-        mvc = lambda x: _matvec_C(Lenv, Renv_new, x)
-        Cn = expm_multiply_lanczos(mvc, Cn, cb_i, num_krylov_vecs)
+        Cn = _expm_local_C(Lenv, Renv_new, Cn, cb_i, num_krylov_vecs,
+                           lanczos_impl, interpret, imaginary)
         Cn = _renorm(Cn)
         return (Renv_new, Cn), AR
 
@@ -430,24 +484,77 @@ def right_canonicalize_and_envs_sc(As, Ws, vL, vR, R0=None):
     return Qs, Renvs
 
 
-@functools.partial(jax.jit, static_argnames=("num_krylov_vecs",))
+def _expm_local_sc(Lenv, W, Renv, v, coeff, m, lanczos_impl, interpret):
+    """SC local exp: fused realified kernel (ops.kernels) or XLA SC
+    Lanczos."""
+    if lanczos_impl == "fused":
+        chi, d = v.shape[0], v.shape[1]
+        M = W.shape[0]
+        # realified tiles double both M and d
+        vmem = 4 * chi * chi * (4 * M + 2 * d * (m + 4))
+        if vmem <= 12 * 2**20:
+            from tensornetwork_tpu.ops import kernels
+            vb = _sc.SC(v.re[None], v.im[None])
+            Lb = _sc.SC(Lenv.re[None], Lenv.im[None])
+            Rb = _sc.SC(Renv.re[None], Renv.im[None])
+            y = kernels.expm_multiply_fused_sc(
+                Lb, W, Rb, vb, coeff, m, interpret=interpret,
+                precision=jax.lax.Precision.HIGHEST)
+            return _sc.SC(y.re[0], y.im[0])
+    mv = lambda x: _matvec_1s_sc(Lenv, W, Renv, x)
+    return expm_multiply_lanczos_sc(mv, v, coeff, m)
+
+
+def _expm_local_C_sc(Lenv, Renv, v, coeff, m, lanczos_impl, interpret):
+    if lanczos_impl == "fused":
+        chi = v.shape[0]
+        M = Lenv.re.shape[1]
+        vmem = 4 * chi * chi * (4 * M + 2 * (m + 4))
+        if vmem <= 12 * 2**20:
+            from tensornetwork_tpu.ops import kernels
+            W_eye = jnp.eye(M, dtype=v.dtype).reshape(M, M, 1, 1)
+            vb = _sc.SC(v.re[None, :, None, :], v.im[None, :, None, :])
+            Lb = _sc.SC(Lenv.re[None], Lenv.im[None])
+            Rb = _sc.SC(Renv.re[None], Renv.im[None])
+            y = kernels.expm_multiply_fused_sc(
+                Lb, W_eye, Rb, vb, coeff, m, interpret=interpret,
+                precision=jax.lax.Precision.HIGHEST)
+            return _sc.SC(y.re[0, :, 0, :], y.im[0, :, 0, :])
+    mvc = lambda x: _matvec_C_sc(Lenv, Renv, x)
+    return expm_multiply_lanczos_sc(mvc, v, coeff, m)
+
+
 def tdvp_one_site_sweep_sc(
     As, Ws: Array, vL: Array, vR: Array, dt,
     num_krylov_vecs: int = 20,
     boundary_envs=None,
+    lanczos_impl: Optional[str] = None,
 ):
     """One symmetric one-site real-time TDVP sweep on a split-complex MPS
     stack (``As`` is an SC of shape (N, chi, d, chi); ``Ws`` is the real
     MPO stack).  Evolves by ``exp(-i H dt)``.  Semantics identical to
     :func:`tdvp_one_site_sweep` with a complex dtype — but runs on TPU
     backends without complex support."""
+    if lanczos_impl is None:
+        lanczos_impl = ("fused" if jax.default_backend() == "tpu"
+                        else "xla")
+    interpret = jax.default_backend() != "tpu"
+    return _tdvp_sc_jit(As, Ws, vL, vR, dt, num_krylov_vecs,
+                        boundary_envs, lanczos_impl, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_krylov_vecs", "lanczos_impl", "interpret"))
+def _tdvp_sc_jit(As, Ws, vL, vR, dt, num_krylov_vecs, boundary_envs,
+                 lanczos_impl, interpret):
     with jax.default_matmul_precision("highest"):
         return _tdvp_sweep_sc_impl(As, Ws, vL, vR, dt, num_krylov_vecs,
-                                   boundary_envs)
+                                   boundary_envs, lanczos_impl, interpret)
 
 
 def _tdvp_sweep_sc_impl(As, Ws, vL, vR, dt, num_krylov_vecs,
-                        boundary_envs=None):
+                        boundary_envs=None, lanczos_impl="xla",
+                        interpret=False):
     N, chi, d, _ = As.shape
     dt = jnp.asarray(dt)
     zero = jnp.zeros_like(dt)
@@ -475,13 +582,13 @@ def _tdvp_sweep_sc_impl(As, Ws, vL, vR, dt, num_krylov_vecs,
         AC = _ncon([C, A], [(-1, 1), (1, -2, -3)],
                    check_network=False, jit=False)
         AC = _renorm_sc(AC)
-        mv = lambda x: _matvec_1s_sc(Lenv, W, Renv, x)
-        AC = expm_multiply_lanczos_sc(mv, AC, cf, num_krylov_vecs)
+        AC = _expm_local_sc(Lenv, W, Renv, AC, cf, num_krylov_vecs,
+                            lanczos_impl, interpret)
         AC = _renorm_sc(AC)
         AL, Cn = _qr_shift_right_sc(AC)
         Lenv_new = _update_left_sc(Lenv, AL, W)
-        mvc = lambda x: _matvec_C_sc(Lenv_new, Renv, x)
-        Cn = expm_multiply_lanczos_sc(mvc, Cn, cb_i, num_krylov_vecs)
+        Cn = _expm_local_C_sc(Lenv_new, Renv, Cn, cb_i, num_krylov_vecs,
+                              lanczos_impl, interpret)
         Cn = _renorm_sc(Cn)
         return (Lenv_new, Cn), (AL, Lenv)
 
@@ -494,13 +601,13 @@ def _tdvp_sweep_sc_impl(As, Ws, vL, vR, dt, num_krylov_vecs,
         AC = _ncon([A, C], [(-1, -2, 1), (1, -3)],
                    check_network=False, jit=False)
         AC = _renorm_sc(AC)
-        mv = lambda x: _matvec_1s_sc(Lenv, W, Renv, x)
-        AC = expm_multiply_lanczos_sc(mv, AC, cf, num_krylov_vecs)
+        AC = _expm_local_sc(Lenv, W, Renv, AC, cf, num_krylov_vecs,
+                            lanczos_impl, interpret)
         AC = _renorm_sc(AC)
         Cn, AR = _rq_shift_left_sc(AC)
         Renv_new = _update_right_sc(Renv, AR, W)
-        mvc = lambda x: _matvec_C_sc(Lenv, Renv_new, x)
-        Cn = expm_multiply_lanczos_sc(mvc, Cn, cb_i, num_krylov_vecs)
+        Cn = _expm_local_C_sc(Lenv, Renv_new, Cn, cb_i, num_krylov_vecs,
+                              lanczos_impl, interpret)
         Cn = _renorm_sc(Cn)
         return (Renv_new, Cn), AR
 

@@ -333,6 +333,173 @@ def fused_lanczos_ground_state_2s(L, W1, W2, R, x0, num_krylov_vecs: int,
     return evals, y.transpose(0, 2, 1, 3).reshape(B, chi, d, d, chi)
 
 
+# (rho, sigma, kappa) -> tau sign table for the triple product of three
+# complex factors L.x.R: component tau of (a+ib)(c+id)(e+if).
+# G8[rho, sigma, kappa, tau]
+_SC_TRIPLE_SIGNS = np.zeros((2, 2, 2, 2))
+for _r in range(2):
+    for _s in range(2):
+        for _k in range(2):
+            _n_im = _r + _s + _k
+            _tau = _n_im % 2
+            _sign = -1.0 if (_n_im // 2) % 2 else 1.0
+            _SC_TRIPLE_SIGNS[_r, _s, _k, _tau] = _sign
+
+
+def _realify_sandwich_operands(L_sc, W, R_sc, x_sc):
+    """Realify SC operands of the H_eff sandwich for the generic fused
+    kernel: complex Lanczos == real three-term Lanczos of the realified
+    operator (Hermitian H has real tridiagonal coefficients, so the
+    recurrence never leaves the realified span).
+
+    Index doubling: w' = 2w+rho, v' = 2v+kappa, t' = 2t+sigma; the
+    coupling W'[(w,rho),(v,kappa),(s,tau),(t,sigma)] =
+    W[w,v,s,t] * sign(tau; rho,sigma,kappa) encodes the complex triple
+    product.  Returns kernel-layout (Lt', W', Rt', xt') plus (chi, 2d,
+    2M)."""
+    B, chi, M, _ = L_sc.re.shape
+    d = x_sc.re.shape[2]
+    # (B, a, M, c) -> (B, a, 2M, c) with w' = 2w + rho
+    Lp = jnp.stack([L_sc.re, L_sc.im], axis=3).reshape(B, chi, 2 * M, chi)
+    Rp = jnp.stack([R_sc.re, R_sc.im], axis=3).reshape(B, chi, 2 * M, chi)
+    xp = jnp.stack([x_sc.re, x_sc.im], axis=3).reshape(B, chi, 2 * d, chi)
+    g = jnp.asarray(_SC_TRIPLE_SIGNS, W.dtype)     # (rho,sigma,kappa,tau)
+    # W'[w,rho, v,kappa, s,tau, t,sigma] = W[w,v,s,t] * g[rho,sigma,kappa,tau]
+    Wp = (W[:, None, :, None, :, None, :, None]
+          * g.transpose(0, 2, 3, 1)[None, :, None, :, None, :, None, :])
+    Wp = Wp.reshape(2 * M, 2 * M, 2 * d, 2 * d)
+    Lt, Wp, Rt, xt = prepare_operands(Lp, Wp, Rp, xp)
+    return Lt, Wp, Rt, xt, chi, 2 * d, 2 * M
+
+
+def fused_lanczos_factorization_sc(L_sc, W, R_sc, x0_sc,
+                                   num_krylov_vecs: int,
+                                   delta: float = 1e-8,
+                                   interpret: bool = False,
+                                   precision=None):
+    """Fused whole-Lanczos factorization of the split-complex H_eff.
+
+    Operands: SC L (B,a,M,c), real W (M,M,d,d), SC R (B,b,M,d),
+    SC x0 (B,a,t,b).  Returns ``(V, alphas, betas)`` with ``V`` an SC of
+    shape (B, m, chi, d, chi) (solver layout) and real tridiagonal
+    coefficients (B, m) / (B, m-1) — semantics of
+    :func:`tensornetwork_tpu.ops.krylov.lanczos_factorization_sc`
+    without reorthogonalization.
+    """
+    from tensornetwork_tpu.ops import split_complex as sc
+
+    m = num_krylov_vecs
+    Lt, Wp, Rt, xt, chi, d2, M2 = _realify_sandwich_operands(
+        L_sc, W, R_sc, x0_sc)
+    accum = xt.dtype if xt.dtype == jnp.float64 else jnp.float32
+    delta = max(delta, 50 * float(jnp.finfo(accum).eps))  # see expm note
+    fl = make_fused_lanczos(chi, d2, M2, m, delta=delta,
+                            accum_dtype=accum,
+                            interpret=interpret, precision=precision)
+    Vp, ab = fl(Lt, Wp, Rt, xt)
+    # Vp: (B, m, 2d, chi, chi) kernel layout [t'](a, b), t' = 2t+sigma
+    B = Vp.shape[0]
+    d = d2 // 2
+    Vp = Vp.reshape(B, m, d, 2, chi, chi)
+    # back to solver layout (B, m, a, t, b)
+    V_re = Vp[:, :, :, 0].transpose(0, 1, 3, 2, 4)
+    V_im = Vp[:, :, :, 1].transpose(0, 1, 3, 2, 4)
+    alphas, betas = ab[:, 0, :], ab[:, 1, : m - 1]
+    return sc.SC(V_re, V_im), alphas, betas
+
+
+def expm_multiply_fused_sc(L_sc, W, R_sc, v_sc, coeff,
+                           num_krylov_vecs: int,
+                           delta: float = 1e-8,
+                           interpret: bool = False,
+                           precision=None):
+    """Batched ``exp(coeff*H_eff) @ v`` on split-complex states via the
+    fused Lanczos kernel (``coeff`` complex/SC/real scalar — real-time
+    evolution is ``coeff = -1j*dt``).  Operands as in
+    :func:`fused_lanczos_factorization_sc`; returns an SC (B,a,t,b).
+    Semantics of :func:`tensornetwork_tpu.ops.krylov.
+    expm_multiply_lanczos_sc` (norm-preserving up to projection error),
+    with the plain three-term recurrence."""
+    from tensornetwork_tpu.ops import split_complex as sc
+
+    m = num_krylov_vecs
+    nrm = jnp.sqrt(jnp.sum(v_sc.re**2, axis=(1, 2, 3))
+                   + jnp.sum(v_sc.im**2, axis=(1, 2, 3)))  # (B,)
+    V, alphas, betas = fused_lanczos_factorization_sc(
+        L_sc, W, R_sc, v_sc, m, delta=delta, interpret=interpret,
+        precision=precision)
+    alphas = jnp.where(jnp.abs(alphas) >= 1e9,
+                       alphas[:, :1], alphas)
+
+    if isinstance(coeff, sc.SC):
+        cr, ci = coeff.re, coeff.im
+    elif isinstance(coeff, complex):
+        cr = jnp.asarray(coeff.real, alphas.dtype)
+        ci = jnp.asarray(coeff.imag, alphas.dtype)
+    else:
+        carr = jnp.asarray(coeff)
+        if jnp.iscomplexobj(carr):
+            cr, ci = jnp.real(carr), jnp.imag(carr)
+        else:
+            cr, ci = carr, jnp.zeros_like(carr)
+
+    def small_weights(al, be):
+        T = jnp.diag(al) + jnp.diag(be, 1) + jnp.diag(be, -1)
+        evals, evecs = jnp.linalg.eigh(T)
+        amp = jnp.exp(cr * evals)
+        wr = evecs @ (amp * jnp.cos(ci * evals) * evecs[0, :])
+        wi = evecs @ (amp * jnp.sin(ci * evals) * evecs[0, :])
+        return wr, wi
+
+    wr, wi = jax.vmap(small_weights)(alphas, betas)
+    yr = (jnp.einsum("Bm,Bmatb->Batb", wr, V.re)
+          - jnp.einsum("Bm,Bmatb->Batb", wi, V.im))
+    yi = (jnp.einsum("Bm,Bmatb->Batb", wr, V.im)
+          + jnp.einsum("Bm,Bmatb->Batb", wi, V.re))
+    s = nrm[:, None, None, None]
+    return sc.SC(yr * s, yi * s)
+
+
+def expm_multiply_fused(L, W, R, v, coeff, num_krylov_vecs: int,
+                        delta: float = 1e-8, interpret: bool = False,
+                        precision=None):
+    """Batched ``exp(coeff*H_eff) @ v`` on real states via the fused
+    Lanczos kernel (``coeff`` a real scalar — imaginary-time evolution).
+    Operands: L (B,a,M,c), W (M,M,d,d), R (B,b,M,d), v (B,a,t,b).
+    Plain-three-term analog of :func:`tensornetwork_tpu.ops.krylov.
+    expm_multiply_lanczos`."""
+    from tensornetwork_tpu.ops import krylov  # noqa: F401  (parity docs)
+
+    m = num_krylov_vecs
+    nrm = jnp.sqrt(jnp.sum(v * v, axis=(1, 2, 3)))
+    Lt, W_, Rt, xt = prepare_operands(L, W, R, v)
+    B, chi = v.shape[0], v.shape[1]
+    d = v.shape[2]
+    M = W.shape[0]
+    accum = v.dtype if v.dtype == jnp.float64 else jnp.float32
+    # breakdown tolerance must sit above the accumulation noise floor:
+    # plain three-term betas bottom out at ~1e-6 in f32 — continuing on
+    # noise feeds garbage Ritz directions into the exponential weights
+    delta = max(delta, 50 * float(jnp.finfo(accum).eps))
+    fl = make_fused_lanczos(chi, d, M, m, delta=delta,
+                            accum_dtype=accum,
+                            interpret=interpret, precision=precision)
+    V, ab = fl(Lt, W_, Rt, xt)
+    alphas, betas = ab[:, 0, :], ab[:, 1, : m - 1]
+    alphas = jnp.where(jnp.abs(alphas) >= 1e9, alphas[:, :1], alphas)
+    coeff = jnp.asarray(coeff)
+
+    def small_weights(al, be):
+        T = jnp.diag(al) + jnp.diag(be, 1) + jnp.diag(be, -1)
+        evals, evecs = jnp.linalg.eigh(T)
+        return evecs @ (jnp.exp(coeff * evals) * evecs[0, :])
+
+    w = jax.vmap(small_weights)(alphas, betas)
+    y = jnp.einsum("Bm,Bmtab->Btab", w.astype(V.dtype), V)
+    # kernel layout [t](a,b) -> solver layout (a,t,b)
+    return y.transpose(0, 2, 1, 3) * nrm[:, None, None, None]
+
+
 def make_fused_gauge_env(chi: int, d: int, M: int,
                          quintic_iters: int = 14, cubic_iters: int = 7,
                          accum_dtype=jnp.float32,
