@@ -239,6 +239,47 @@ def _matvec_C(LW: Array, RW: Array, x: Array) -> Array:
     return jnp.einsum("awc,ab,bwd->cd", LW, x, RW, optimize="auto")
 
 
+def _solve_AC(LW, W, RW, AC, m, lanczos_impl, interpret):
+    """Smallest Ritz vector of the AC effective Hamiltonian; fused
+    Pallas whole-Lanczos kernel on TPU (same sandwich as the DMRG
+    H_eff), XLA Lanczos otherwise."""
+    if lanczos_impl == "fused":
+        chi, d = AC.shape[0], AC.shape[1]
+        M = W.shape[0]
+        vmem = 4 * chi * chi * (2 * M + d * (m + 4))
+        if vmem <= 12 * 2**20:
+            from tensornetwork_tpu.ops import kernels
+            _, evec = kernels.fused_lanczos_ground_state(
+                LW[None], W, RW[None], AC[None], num_krylov_vecs=m,
+                ritz_method="power", interpret=interpret,
+                precision=jax.lax.Precision.HIGHEST)
+            return evec[0]
+    mv = lambda x: _matvec_AC(LW, W, RW, x)
+    _, vec = krylov.eigsh_lanczos(mv, AC, num_krylov_vecs=m, numeig=1)
+    return vec[0]
+
+
+def _solve_C(LW, RW, C, m, lanczos_impl, interpret):
+    """Zero-site solve: the bond operator is the same sandwich with one
+    physical tile and identity MPO couplings."""
+    if lanczos_impl == "fused":
+        chi = C.shape[0]
+        M = LW.shape[1]
+        vmem = 4 * chi * chi * (2 * M + (m + 4))
+        if vmem <= 12 * 2**20:
+            from tensornetwork_tpu.ops import kernels
+            W_eye = jnp.eye(M, dtype=C.dtype).reshape(M, M, 1, 1)
+            _, evec = kernels.fused_lanczos_ground_state(
+                LW[None], W_eye, RW[None], C[None, :, None, :],
+                num_krylov_vecs=m, ritz_method="power",
+                interpret=interpret,
+                precision=jax.lax.Precision.HIGHEST)
+            return evec[0, :, 0, :]
+    mv = lambda x: _matvec_C(LW, RW, x)
+    _, vec = krylov.eigsh_lanczos(mv, C, num_krylov_vecs=m, numeig=1)
+    return vec[0]
+
+
 def _polar_split(AC: Array, C: Array) -> Tuple[Array, Array, Array]:
     """AL, AR from the polar parts of AC·C† and C†·AC, plus the gauge
     error ||AC - AL·C||."""
@@ -253,14 +294,29 @@ def _polar_split(AC: Array, C: Array) -> Tuple[Array, Array, Array]:
     return AL, AR, err
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "lams", "num_krylov_vecs", "gmres_m", "gmres_restarts", "n_power"))
 def vumps_iteration(state: VUMPSState, W: Array, lams: Tuple[float, ...],
                     num_krylov_vecs: int = 25, gmres_m: int = 30,
-                    gmres_restarts: int = 2, n_power: int = 10):
+                    gmres_restarts: int = 2, n_power: int = 10,
+                    lanczos_impl: Optional[str] = None):
     """One full VUMPS iteration as a single XLA computation.
 
     Returns ``(new_state, energy_density, gauge_error, LW, RW)``."""
+    if lanczos_impl is None:
+        lanczos_impl = ("fused" if jax.default_backend() == "tpu"
+                        else "xla")
+    interpret = jax.default_backend() != "tpu"
+    return _vumps_iteration_jit(state, W, lams, num_krylov_vecs, gmres_m,
+                                gmres_restarts, n_power, lanczos_impl,
+                                interpret)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "lams", "num_krylov_vecs", "gmres_m", "gmres_restarts", "n_power",
+    "lanczos_impl", "interpret"))
+def _vumps_iteration_jit(state: VUMPSState, W: Array, lams,
+                         num_krylov_vecs=25, gmres_m=30,
+                         gmres_restarts=2, n_power=10,
+                         lanczos_impl="xla", interpret=False):
     with jax.default_matmul_precision("highest"):
         AL, AR, C, AC = state
         chi = C.shape[0]
@@ -278,18 +334,12 @@ def vumps_iteration(state: VUMPSState, W: Array, lams: Tuple[float, ...],
         RW, eR = right_mpo_environment(AR, W, l, lams, jnp.zeros_like(C),
                                        gmres_m, gmres_restarts)
 
-        mv_ac = lambda x: _matvec_AC(LW, W, RW, x)
-        _, vec_ac = krylov.eigsh_lanczos(mv_ac, AC,
-                                         num_krylov_vecs=num_krylov_vecs,
-                                         numeig=1)
-        AC_new = vec_ac[0]
+        AC_new = _solve_AC(LW, W, RW, AC, num_krylov_vecs,
+                           lanczos_impl, interpret)
         AC_new = AC_new / jnp.linalg.norm(AC_new)
 
-        mv_c = lambda x: _matvec_C(LW, RW, x)
-        _, vec_c = krylov.eigsh_lanczos(mv_c, C,
-                                        num_krylov_vecs=num_krylov_vecs,
-                                        numeig=1)
-        C_new = vec_c[0]
+        C_new = _solve_C(LW, RW, C, num_krylov_vecs, lanczos_impl,
+                         interpret)
         C_new = C_new / jnp.linalg.norm(C_new)
 
         AL_new, AR_new, err = _polar_split(AC_new, C_new)

@@ -192,3 +192,41 @@ class BatchedDMRG:
             self.As = res.As
             self.energies = res.energy
         return self.energies
+
+
+def batched_tdvp_one_site_sweep_sc(As_batch, Ws, vL, vR, dt,
+                                   num_krylov_vecs: int = 10,
+                                   lanczos_impl=None):
+    """One real-time TDVP sweep over a batch of split-complex MPS
+    instances — e.g. many quantum quenches evolved in parallel on one
+    chip (no analog in the reference, which has no time evolution and
+    no complex-on-real-backend support).
+
+    ``As_batch``: SC of shape (B, N, chi, d, chi); shared real MPO.
+    ``dt`` may be a scalar (shared) or a (B,) array of per-instance
+    time steps.  Returns the evolved SC batch.
+    """
+    from tensornetwork_tpu.models.tdvp import tdvp_one_site_sweep_sc
+    if lanczos_impl is None:
+        lanczos_impl = ("fused" if jax.default_backend() == "tpu"
+                        else "xla")
+    dt = jnp.asarray(dt)
+    dt_b = jnp.broadcast_to(dt, As_batch.re.shape[:1])
+    return _batched_tdvp_sc_jit(As_batch, Ws, vL, vR, dt_b,
+                                num_krylov_vecs, lanczos_impl)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_krylov_vecs", "lanczos_impl"))
+def _batched_tdvp_sc_jit(As_batch, Ws, vL, vR, dt_b, num_krylov_vecs,
+                         lanczos_impl):
+    from tensornetwork_tpu.models import tdvp as _tdvp
+    interpret = jax.default_backend() != "tpu"
+
+    def one(As, dt):
+        with jax.default_matmul_precision("highest"):
+            return _tdvp._tdvp_sweep_sc_impl(
+                As, Ws, vL, vR, dt, num_krylov_vecs,
+                None, lanczos_impl, interpret)
+
+    return jax.vmap(one)(As_batch, dt_b)

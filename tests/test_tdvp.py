@@ -200,3 +200,37 @@ def test_real_tdvp_fused_imaginary_time():
     vf = _dense_from_stack(out_f)
     fid = abs(np.vdot(vx / np.linalg.norm(vx), vf / np.linalg.norm(vf)))
     assert fid > 1 - 1e-10
+
+
+def test_batched_sc_tdvp_parallel_quenches():
+    # B independent quenches in one compiled sweep; each stays
+    # normalized and matches the single-instance sweep
+    from tensornetwork_tpu.parallel.batch import (
+        batched_tdvp_one_site_sweep_sc)
+    from tensornetwork_tpu.models.tdvp import tdvp_one_site_sweep_sc
+    from tensornetwork_tpu.ops import split_complex as sc
+    N, chi, d, B = 4, 4, 2, 3
+    mpo = FiniteTFI(-1.0, -0.9, N=N)
+    rng = np.random.default_rng(0)
+    vs = rng.standard_normal((B, d))
+    vs /= np.linalg.norm(vs, axis=1, keepdims=True)
+    As = np.zeros((B, N, chi, d, chi))
+    for b in range(B):
+        As[b, :, 0, :, 0] = vs[b]
+    Asb = sc.SC(jnp.asarray(As), jnp.zeros_like(jnp.asarray(As)))
+    Ws = jnp.asarray(mpo.Ws, jnp.float64)
+    vL = jnp.asarray(mpo.vL, jnp.float64)
+    vR = jnp.asarray(mpo.vR, jnp.float64)
+    out = batched_tdvp_one_site_sweep_sc(Asb, Ws, vL, vR, 0.02,
+                                         num_krylov_vecs=10)
+    for b in range(B):
+        single = tdvp_one_site_sweep_sc(
+            sc.SC(Asb.re[b], Asb.im[b]), Ws, vL, vR, 0.02,
+            num_krylov_vecs=10, lanczos_impl="xla")
+        vb = _dense_from_stack(np.asarray(out.re[b])
+                               + 1j * np.asarray(out.im[b]))
+        vs_ = _dense_from_stack(np.asarray(single.re)
+                                + 1j * np.asarray(single.im))
+        fid = abs(np.vdot(vb / np.linalg.norm(vb),
+                          vs_ / np.linalg.norm(vs_)))
+        assert fid > 1 - 1e-10

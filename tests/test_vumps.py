@@ -130,3 +130,29 @@ def test_itdvp_imaginary_time_projects_to_ground_state():
     exact = V.tfi_exact_energy_density(1.0, 1.0)
     # imaginary-time iTDVP converges toward the GS energy density
     assert abs(es[-1] - exact) < 5e-3
+
+
+def test_vumps_iteration_fused_matches_xla():
+    # fused Pallas solves (interpret on CPU) vs XLA Lanczos: one
+    # iteration from the same state must produce the same physics
+    import jax.numpy as jnp
+    from tensornetwork_tpu.models.vumps import (
+        random_vumps_state, vumps_iteration)
+    from tensornetwork_tpu.models.mpo import FiniteTFI
+    import numpy as np
+
+    from tensornetwork_tpu.models.vumps import mpo_diagonal_coefficients
+    W = jnp.asarray(FiniteTFI(-1.0, -0.8, N=3).Ws[1], jnp.float64)
+    lams = mpo_diagonal_coefficients(W)
+    state = random_vumps_state(jax.random.PRNGKey(0), chi=8)
+    outs = {}
+    for impl in ("xla", "fused"):
+        st, e, err, LW, RW = vumps_iteration(
+            state, W, lams, num_krylov_vecs=12, lanczos_impl=impl)
+        outs[impl] = (st, float(e))
+    assert abs(outs["xla"][1] - outs["fused"][1]) < 1e-9
+    # AC fidelity (gauge-free comparison of the optimized center)
+    a = np.asarray(outs["xla"][0].AC).ravel()
+    b = np.asarray(outs["fused"][0].AC).ravel()
+    fid = abs(np.dot(a, b)) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert fid > 1 - 1e-8
