@@ -26,6 +26,7 @@ from tensornetwork_tpu.core.network import (
 from tensornetwork_tpu.core.operations import (
     copy, replicate_nodes, remove_node, reachable, check_correct,
     check_connected, get_subgraph_dangling, redirect_edge,
+    get_all_nodes, contract_trace_edges,
     split_node, split_node_qr, split_node_rq, split_node_full_svd,
     reduced_density, nodes_to_json, nodes_from_json, switch_backend)
 
@@ -34,8 +35,17 @@ from tensornetwork_tpu import contractors
 # functional layer (reference ``tensor.py`` / ``linalg/``)
 from tensornetwork_tpu.core.tensor import Tensor, NconBuilder
 from tensornetwork_tpu.core import linalg
+from tensornetwork_tpu.core import node_linalg
 from tensornetwork_tpu.core.linalg import (
-    tensordot, einsum, norm, kron, eigsh_lanczos, eigs, gmres)
+    tensordot, einsum, norm, kron, eigsh_lanczos, eigs, gmres,
+    # free functions (reference ``linalg/operations.py``, exported at
+    # ``/root/reference/tensornetwork/__init__.py:17-22``)
+    reshape, transpose, take_slice, shape, sqrt, outer, conj, hconj,
+    sin, cos, exp, log, diagonal, diagflat, trace, sign, abs, pivot,
+    # decomposition wrappers over Tensor (reference ``linalg/linalg.py``)
+    expm, inv,
+    # initializers (reference ``linalg/initialization.py``)
+    eye, ones, randn, random_uniform, zeros)
 
 # split-complex engine: complex tensors on real-only TPU backends
 from tensornetwork_tpu.ops import split_complex
@@ -49,6 +59,19 @@ from tensornetwork_tpu.utils import (
 
 # block-sparse symmetric tensors (reference ``block_sparse/``)
 from tensornetwork_tpu import blocksparse
+block_sparse = blocksparse  # reference module name alias
+from tensornetwork_tpu.blocksparse import (
+    BlockSparseTensor, ChargeArray, Index, U1Charge, BaseCharge,
+    Z2Charge, ZNCharge)
+
+# application layer at package top level (reference
+# ``/root/reference/tensornetwork/__init__.py:37-43``)
+from tensornetwork_tpu.models.mps import FiniteMPS
+from tensornetwork_tpu.models.infinite_mps import InfiniteMPS
+from tensornetwork_tpu.models.dmrg import FiniteDMRG
+from tensornetwork_tpu.models.mpo import (
+    FiniteMPO, FiniteTFI, FiniteXXZ, FiniteFreeFermion2D)
+from tensornetwork_tpu import models
 
 import jax as _jax
 

@@ -263,9 +263,19 @@ def diag(x):
                     "BlockSparseTensor")
 
 
-def trace(matrix: BlockSparseTensor) -> complex:
-    """Dense-sense trace over the two legs (reference
-    ``block_sparse/linalg.py:595``)."""
+def trace(matrix: BlockSparseTensor, axes=None):
+    """Trace over two legs (reference ``block_sparse/linalg.py:595``).
+
+    For a matrix (``ndim == 2``) returns the scalar trace.  For higher-rank
+    tensors returns the partially-traced ``BlockSparseTensor`` over the
+    given axis pair (default: the last two), implemented — like the
+    reference — as a contraction against a block-sparse identity."""
+    if matrix.ndim != 2:
+        return trace_axes(matrix, axes)
+    if axes is not None:
+        ax = sorted(a % matrix.ndim for a in axes)
+        if ax != [0, 1]:
+            raise ValueError(f"invalid trace axes {axes} for a matrix")
     p = _matrix_partition(matrix)
     common, maps, shapes = find_diagonal_blocks(matrix._charges,
                                                 matrix._flows, p)
@@ -279,6 +289,23 @@ def trace(matrix: BlockSparseTensor) -> complex:
         if len(common_idx):
             total = total + np.sum(matrix.data[bm[ri, ci]])
     return total
+
+
+def trace_axes(tensor: BlockSparseTensor, axes=None) -> BlockSparseTensor:
+    """Partial trace over one axis pair of a rank-n tensor (reference
+    ``block_sparse/linalg.py:595-644``, which likewise contracts against a
+    block-sparse identity)."""
+    from tensornetwork_tpu.blocksparse.tensor import tensordot as _td
+    if axes is None:
+        axes = (tensor.ndim - 2, tensor.ndim - 1)
+    if len(axes) != 2:
+        raise ValueError(f"`len(axes)` has to be 2, found `axes = {axes}`")
+    ax1, ax2 = (a % tensor.ndim for a in axes)
+    if ax1 == ax2:
+        raise ValueError(f"trace axes must differ, got {axes}")
+    idx = tensor.sparse_shape[ax1]
+    ident = eye(idx.flip_flow(), dtype=tensor.data.dtype)
+    return _td(tensor, ident, [[ax1, ax2], [0, 1]])
 
 
 def inv(matrix: BlockSparseTensor) -> BlockSparseTensor:

@@ -383,6 +383,16 @@ class BlockSparseTensor:
 
     # -- elementwise algebra ----------------------------------------------
     def _check_same_structure(self, other: "BlockSparseTensor"):
+        """Operand compatibility for elementwise arithmetic.  Transposition
+        here is *eager* (data re-permuted immediately), so any two tensors
+        with equal elementary charges/flows already share a storage layout —
+        the lazy-order alignment the reference needs
+        (``blocksparsetensor.py:708`` ``_align_storage_layout``) is a no-op
+        by construction; ``A + B.transpose(p).transpose(inv(p))`` works."""
+        if self.shape != other.shape:
+            raise ValueError(
+                f"cannot combine tensors of shapes {self.shape} and "
+                f"{other.shape}")
         if len(self._charges) != len(other._charges) or any(
                 not charge_equal(a, b) for a, b in
                 zip(self._charges, other._charges)) or \

@@ -95,6 +95,37 @@ def abs(t) -> Tensor:  # noqa: A001 - reference exports `abs`
     return Tensor(jnp.abs(_unwrap(t)))
 
 
+def conj(t) -> Tensor:
+    """Complex conjugate (reference ``linalg/operations.py:142``)."""
+    return Tensor(jnp.conj(_unwrap(t)))
+
+
+def hconj(t, perm=None) -> Tensor:
+    """Hermitian conjugate: conjugate + transpose (reference
+    ``linalg/operations.py:153``)."""
+    return Tensor(jnp.conj(jnp.transpose(_unwrap(t), perm)))
+
+
+def sin(t) -> Tensor:
+    """(reference ``linalg/operations.py:165``)"""
+    return Tensor(jnp.sin(_unwrap(t)))
+
+
+def cos(t) -> Tensor:
+    """(reference ``linalg/operations.py:177``)"""
+    return Tensor(jnp.cos(_unwrap(t)))
+
+
+def exp(t) -> Tensor:
+    """Elementwise exponential (reference ``linalg/operations.py:189``)."""
+    return Tensor(jnp.exp(_unwrap(t)))
+
+
+def log(t) -> Tensor:
+    """Natural logarithm (reference ``linalg/operations.py:201``)."""
+    return Tensor(jnp.log(_unwrap(t)))
+
+
 def pivot(t, pivot_axis: int = -1) -> Tensor:
     """Reshape into a matrix around ``pivot_axis``."""
     arr = _unwrap(t)

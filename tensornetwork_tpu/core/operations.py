@@ -14,9 +14,31 @@ import jax.numpy as jnp
 import numpy as np
 
 from tensornetwork_tpu.core.network import (
-    AbstractNode, CopyNode, Edge, Node, connect, get_all_edges,
-    get_all_dangling)
+    AbstractNode, CopyNode, Edge, Node, connect, contract_parallel,
+    get_all_edges, get_all_dangling)
 from tensornetwork_tpu.ops import decompositions as _decomp
+
+
+def get_all_nodes(edges) -> Set[AbstractNode]:
+    """The set of nodes touched by ``edges`` (reference
+    ``network_operations.py:697``)."""
+    nodes: Set[AbstractNode] = set()
+    for edge in edges:
+        if edge.node1 is not None:
+            nodes.add(edge.node1)
+        if edge.node2 is not None:
+            nodes.add(edge.node2)
+    return nodes
+
+
+def contract_trace_edges(node: AbstractNode) -> AbstractNode:
+    """Contract all trace edges of ``node`` (reference
+    ``network_operations.py:737``; one ``contract_parallel`` collapses all
+    parallel trace edges at once)."""
+    for edge in node.edges:
+        if edge.is_trace():
+            return contract_parallel(edge)
+    return node
 
 
 def copy(nodes: Sequence[AbstractNode], conjugate: bool = False

@@ -494,9 +494,22 @@ def _execute_plan_blocksparse(plan: ContractionPlan, tensors):
     contractions and the final transpose — the symmetric-backend ncon
     surface, reference ``backends/symmetric``)."""
     from tensornetwork_tpu.blocksparse import tensor as bst
+    from tensornetwork_tpu.blocksparse import linalg as bsl
     slots = list(tensors)
     for op in plan.steps:
-        if op.kind == "pair":
+        if op.kind == "trace":
+            # partial traces (reference symmetric backend handles these via
+            # ``backend.trace`` in ``_jittable_ncon``,
+            # ``ncon_interface.py:394-399``).  Each pair removes both axes;
+            # pair positions were computed against the evolving shape, and
+            # later pairs only address the remaining-original region, so
+            # they stay valid here even though the dense path parks
+            # diagonal axes at the end before summing.
+            t = slots[op.a]
+            for (ax1, ax2) in op.axes:
+                t = bsl.trace_axes(t, (ax1, ax2))
+            slots[op.a] = t
+        elif op.kind == "pair":
             if op.batch_a or op.batch_b:
                 raise NotImplementedError(
                     "batch labels are not supported for block-sparse ncon")

@@ -422,3 +422,66 @@ def test_tensordot_device_windowed_path_and_pinning(rng):
     s_dev = tensordot_device(ad, acd, [[0, 1, 2], [0, 1, 2]])
     s_np = tensordot(a, a.conj(), [[0, 1, 2], [0, 1, 2]])
     np.testing.assert_allclose(float(s_dev), s_np, atol=1e-8)
+
+
+def test_partial_trace(rng):
+    """Partial trace of a rank-4 tensor vs the dense oracle (reference
+    ``block_sparse/linalg.py:595`` returns a rank-reduced tensor)."""
+    from tensornetwork_tpu.blocksparse.linalg import trace_axes
+    c1 = rand_charge(rng, 4)
+    c2 = rand_charge(rng, 5)
+    t = randn([Index(c1, False), Index(c2, True), Index(c1, True),
+               Index(c2, False)], seed=31)
+    out = trace_axes(t, (0, 2))
+    oracle = np.trace(t.todense(), axis1=0, axis2=2)
+    np.testing.assert_allclose(out.todense(), oracle, atol=1e-12)
+    # default: last two axes
+    t2 = randn([Index(c1, False), Index(c2, True), Index(c2, False)],
+               seed=32)
+    out2 = trace(t2)  # ndim>2 dispatches to trace_axes
+    np.testing.assert_allclose(out2.todense(),
+                               np.trace(t2.todense(), axis1=1, axis2=2),
+                               atol=1e-12)
+
+
+def test_blocksparse_ncon_partial_trace(rng):
+    """ncon with a repeated label on one operand (reference symmetric
+    backend handles this via ``backend.trace``,
+    ``ncon_interface.py:394-399``)."""
+    import tensornetwork_tpu as tn
+    c1 = rand_charge(rng, 4)
+    c2 = rand_charge(rng, 3)
+    c3 = rand_charge(rng, 5)
+    a = randn([Index(c1, False), Index(c1, True), Index(c2, True)],
+              seed=33)
+    b = randn([Index(c2, False), Index(c3, True)], seed=34)
+    out = tn.ncon([a, b], [(1, 1, 2), (2, -1)])
+    oracle = np.tensordot(np.trace(a.todense(), axis1=0, axis2=1),
+                          b.todense(), [[0], [0]])
+    np.testing.assert_allclose(out.todense(), oracle, atol=1e-12)
+    # two trace pairs on one operand
+    t = randn([Index(c1, False), Index(c2, False), Index(c1, True),
+               Index(c2, True), Index(c3, True)], seed=35)
+    out2 = tn.ncon([t], [(1, 2, 1, 2, -1)])
+    oracle2 = np.trace(np.trace(t.todense(), axis1=0, axis2=2),
+                       axis1=0, axis2=1)
+    np.testing.assert_allclose(out2.todense(), oracle2, atol=1e-12)
+
+
+def test_arithmetic_alignment_and_shape_guard(rng):
+    """Eager transposition keeps storage aligned (reference needs
+    ``_align_storage_layout``, ``blocksparsetensor.py:708``); shape
+    mismatches raise."""
+    idx = [Index(rand_charge(rng, 4), False), Index(rand_charge(rng, 3), True),
+           Index(rand_charge(rng, 5), False)]
+    a = randn(idx, seed=41)
+    b = randn(idx, seed=42)
+    c = a + b.transpose((1, 0, 2)).transpose((1, 0, 2))
+    np.testing.assert_allclose(c.todense(), a.todense() + b.todense(),
+                               atol=1e-12)
+    d = a.transpose((2, 1, 0)) - b.transpose((2, 1, 0))
+    np.testing.assert_allclose(
+        d.todense(), a.todense().transpose(2, 1, 0)
+        - b.todense().transpose(2, 1, 0), atol=1e-12)
+    with pytest.raises(ValueError):
+        _ = a + b.transpose((1, 0, 2))
