@@ -101,14 +101,10 @@ def _gmres_static(op, b: Array, x0: Array, m: int, restarts: int) -> Array:
     shape = b.shape
     mv = lambda v: op(v.reshape(shape)).reshape(-1)
     bf = b.reshape(-1)
-    x = x0.reshape(-1)
-    for _ in range(restarts):
-        r = bf - mv(x)
-        beta = jnp.linalg.norm(r)
-        V, H = krylov.arnoldi_factorization(mv, r, m)
-        e1 = jnp.zeros((m + 1,), H.dtype).at[0].set(beta.astype(H.dtype))
-        y, *_ = jnp.linalg.lstsq(H, e1)
-        x = x + V[:m].T @ y
+    # Givens-rotation GMRES core (jit-safe; converged restarts exit early
+    # inside the compiled while_loop instead of running all `restarts`)
+    x, _ = krylov.gmres_kernel(mv, bf, x0.reshape(-1), m, restarts,
+                               1e-7 * jnp.linalg.norm(bf))
     return x.reshape(shape)
 
 

@@ -61,6 +61,7 @@ def test_wavefunctions_example_small():
     assert fid > 0.999
 
 
+@pytest.mark.slow
 def test_image_classifier_learns_and_checkpoints(tmp_path):
     import os
     ns = _load("examples/image_classifier.py")
@@ -84,6 +85,7 @@ def test_path_solvers_example():
     assert cost > 0
 
 
+@pytest.mark.slow
 def test_disorder_study_example():
     import importlib.util, pathlib
     path = pathlib.Path(__file__).parent.parent / "examples" / "disorder_study.py"

@@ -120,3 +120,21 @@ def test_fused_lanczos_two_site_matches_xla(rng):
         a, b = vo[i].ravel(), vk[i].ravel()
         sign = np.sign(np.dot(a, b))
         np.testing.assert_allclose(a, sign * b, atol=1e-4)
+
+
+def test_transfer_chain_matches_xla(rng):
+    """Whole-chain transfer kernel vs the scan-of-einsum oracle
+    (interpret mode; on-chip validation happens in benchmarks)."""
+    from tensornetwork_tpu.ops.kernels import transfer_chain
+    B, N, chi, d = 4, 5, 16, 2
+    As = jnp.asarray(rng.standard_normal((B, N, chi, d, chi))
+                     / np.sqrt(2 * chi), jnp.float32)
+    E0 = jnp.asarray(rng.standard_normal((B, chi, chi)), jnp.float32)
+    ref = transfer_chain(As, E0, impl="xla")
+    out = transfer_chain(As, E0, impl="pallas", tile_b=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=1e-6)
+    # tile_b that does not divide B falls back to a divisor
+    out2 = transfer_chain(As, E0, impl="pallas", tile_b=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               rtol=2e-5, atol=1e-6)

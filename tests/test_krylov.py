@@ -120,3 +120,120 @@ def test_lanczos_power_ritz_ground_state(rng):
     np.testing.assert_allclose(float(evals[0]), exact, rtol=1e-8)
     v = np.asarray(evecs[0])
     np.testing.assert_allclose(H @ v, exact * v, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Implicitly-restarted solvers + Givens GMRES (VERDICT round 1, item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_iram_nonhermitian_numeig4(rng):
+    """VERDICT done-criterion: numeig=4 Arnoldi parity vs scipy on a
+    non-Hermitian operator, no per-restart host syncs (the whole restart
+    loop is one compiled while_loop)."""
+    import scipy.sparse.linalg as spla
+    n = 120
+    A = rng.standard_normal((n, n)) / np.sqrt(n)
+    # make the dominant spectrum well separated
+    A = A + np.diag(np.linspace(0.0, 2.0, n))
+    v0 = jnp.asarray(rng.standard_normal(n))
+    mv = lambda x: jnp.asarray(A) @ x
+    evals, evecs = krylov.iram(mv, v0, num_krylov_vecs=30, numeig=4,
+                               which="LM", maxiter=60, tol=1e-9)
+    ref = spla.eigs(A, k=4, which="LM", return_eigenvectors=False)
+    np.testing.assert_allclose(np.sort_complex(np.asarray(evals)),
+                               np.sort_complex(ref), rtol=1e-5, atol=1e-7)
+    # residuals of the returned eigenpairs
+    for lam, v in zip(evals, evecs):
+        v = np.asarray(v)
+        assert np.linalg.norm(A @ v - lam * v) < 1e-4
+
+
+def test_iram_complex_pairs(rng):
+    """Real operator with dominant complex-conjugate eigenvalue pair:
+    double-shift path."""
+    import scipy.sparse.linalg as spla
+    n = 80
+    A = rng.standard_normal((n, n)) / np.sqrt(n)
+    # plant a dominant rotation block (eigenvalues 2 +/- 1j)
+    A[:2, :2] = [[2.0, -1.0], [1.0, 2.0]]
+    A[:2, 2:] = 0.0
+    A[2:, :2] = 0.0
+    v0 = jnp.asarray(rng.standard_normal(n))
+    mv = lambda x: jnp.asarray(A) @ x
+    evals, _ = krylov.iram(mv, v0, num_krylov_vecs=24, numeig=2,
+                           which="LM", maxiter=40, tol=1e-8)
+    ref = spla.eigs(A, k=2, which="LM", return_eigenvectors=False)
+    np.testing.assert_allclose(sorted(np.asarray(evals).imag),
+                               sorted(ref.imag), atol=1e-5)
+    np.testing.assert_allclose(sorted(np.asarray(evals).real),
+                               sorted(ref.real), atol=1e-5)
+
+
+def test_ir_lanczos_smallest(rng):
+    n = 200
+    H = _herm(rng, n)
+    exact = np.linalg.eigvalsh(H)[:3]
+    v0 = jnp.asarray(rng.standard_normal(n))
+    mv = lambda x: jnp.asarray(H) @ x
+    evals, evecs = krylov.ir_lanczos(mv, v0, num_krylov_vecs=20, numeig=3,
+                                     which="SA", maxiter=60, tol=1e-10)
+    np.testing.assert_allclose(np.asarray(evals), exact, rtol=1e-7)
+    for lam, v in zip(np.asarray(evals), np.asarray(evecs)):
+        assert np.linalg.norm(H @ v - lam * v) < 1e-5
+
+
+def test_ir_lanczos_largest_and_tensor_shape(rng):
+    n = 64
+    H = _herm(rng, n)
+    exact = np.linalg.eigvalsh(H)[-1]
+    v0 = jnp.asarray(rng.standard_normal((8, 8)))
+    mv = lambda x: (jnp.asarray(H) @ x.reshape(-1)).reshape(8, 8)
+    evals, evecs = krylov.ir_lanczos(mv, v0, num_krylov_vecs=16, numeig=1,
+                                     which="LA", maxiter=40, tol=1e-10)
+    assert evecs.shape == (1, 8, 8)
+    np.testing.assert_allclose(float(evals[0]), exact, rtol=1e-6)
+
+
+def test_gmres_givens_matches_solve(rng):
+    n = 60
+    A = rng.standard_normal((n, n)) + n * np.eye(n)  # well conditioned
+    b = rng.standard_normal(n)
+    mv = lambda x: jnp.asarray(A) @ x
+    x, info = krylov.gmres(mv, jnp.asarray(b), num_krylov_vectors=60,
+                           maxiter=1, tol=1e-10)
+    assert info == 0
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_gmres_givens_restarts_and_x0(rng):
+    n = 100
+    A = rng.standard_normal((n, n)) + 4 * np.sqrt(n) * np.eye(n)
+    b = rng.standard_normal(n)
+    x_exact = np.linalg.solve(A, b)
+    mv = lambda x: jnp.asarray(A) @ x
+    x0 = jnp.asarray(x_exact + 0.1 * rng.standard_normal(n))
+    x, _ = krylov.gmres(mv, jnp.asarray(b), x0=x0, num_krylov_vectors=10,
+                        maxiter=30, tol=1e-9)
+    np.testing.assert_allclose(np.asarray(x), x_exact, rtol=1e-4, atol=1e-6)
+
+
+def test_gmres_kernel_inside_jit(rng):
+    """gmres_kernel must be traceable inside an outer jit (VUMPS uses it
+    inside the compiled iteration)."""
+    n = 32
+    A = rng.standard_normal((n, n)) + n * np.eye(n)
+    b = rng.standard_normal(n)
+
+    @jax.jit
+    def solve(bf):
+        mv = lambda x: jnp.asarray(A) @ x
+        x, rnorm = krylov.gmres_kernel(mv, bf, jnp.zeros_like(bf), 32, 2,
+                                       1e-10)
+        return x, rnorm
+
+    x, rnorm = solve(jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                               rtol=1e-5, atol=1e-7)
+    assert float(rnorm) < 1e-6

