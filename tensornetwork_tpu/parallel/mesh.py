@@ -55,3 +55,97 @@ def shard_array(x, mesh: Mesh, spec: P):
 
 def replicate(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+# ---------------------------------------------------------------------------
+# Multi-host ownership (SURVEY §2.10.5): process bring-up + DCN/ICI-aware
+# hybrid meshes.  The reference has no distributed runtime at all; here the
+# framework owns `jax.distributed.initialize()` and the host/chip mesh
+# layout so solvers only ever see named axes.
+# ---------------------------------------------------------------------------
+
+_DISTRIBUTED_INITIALIZED = False
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None,
+                           local_device_ids=None) -> bool:
+    """Bring up the multi-process JAX runtime (one process per host).
+
+    Safe to call unconditionally: a single-process environment (no
+    coordinator configured anywhere) is left untouched and ``False`` is
+    returned.  On TPU pods the arguments are auto-detected from the
+    environment, so ``initialize_distributed()`` with no arguments is the
+    whole multi-host bring-up."""
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return True
+    import os
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_worker = len([w for w in workers.split(",") if w.strip()]) > 1
+    has_cfg = (coordinator_address is not None
+               or os.environ.get("JAX_COORDINATOR_ADDRESS")
+               or os.environ.get("COORDINATOR_ADDRESS")
+               or multi_worker
+               or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    if not has_cfg:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id,
+        local_device_ids=local_device_ids)
+    _DISTRIBUTED_INITIALIZED = True
+    return True
+
+
+def make_hybrid_mesh(
+    ici_shape: Tuple[int, ...],
+    dcn_shape: Tuple[int, ...],
+    axis_names: Sequence[str],
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """DCN x ICI mesh: the leading ``dcn_shape`` axes partition across
+    hosts/slices (slow network — put the batch/data axis here), the
+    trailing ``ici_shape`` axes partition inside a slice (fast
+    interconnect — bond/chain axes).  ``axis_names`` names the dcn axes
+    first, then the ici axes.
+
+    Uses ``mesh_utils.create_hybrid_device_mesh`` when devices span
+    multiple processes; in a single-process environment (tests, one chip)
+    the same layout is emulated by splitting the device list evenly, so
+    sharding code is identical either way."""
+    devices = list(devices if devices is not None else jax.devices())
+    if len(dcn_shape) + len(ici_shape) != len(axis_names):
+        raise ValueError("axis_names must cover dcn + ici axes")
+    n_needed = int(np.prod(dcn_shape, dtype=np.int64)) * int(
+        np.prod(ici_shape, dtype=np.int64))
+    if n_needed != len(devices):
+        raise ValueError(f"mesh {tuple(dcn_shape)}x{tuple(ici_shape)} "
+                         f"needs {n_needed} devices, got {len(devices)}")
+    n_procs = len({d.process_index for d in devices})
+    if n_procs > 1:
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            tuple(ici_shape), tuple(dcn_shape), devices=devices)
+    else:
+        # single-process emulation: contiguous blocks play the role of
+        # slices (the layout seen by sharding code is identical)
+        dev_array = np.asarray(devices).reshape(
+            tuple(dcn_shape) + tuple(ici_shape))
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def pod_layout(n_hosts: Optional[int] = None,
+               devices: Optional[Sequence] = None) -> Mesh:
+    """Recommended pod mesh for the solver suite: ``("host", "model")`` —
+    instance/batch (DP) sharding over the DCN ``host`` axis, bond/chain
+    (TP/SP) sharding over the ICI ``model`` axis within each host."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_hosts is None:
+        n_hosts = max(len({d.process_index for d in devices}), 1)
+    per_host = len(devices) // n_hosts
+    if n_hosts * per_host != len(devices):
+        raise ValueError(f"{len(devices)} devices do not split over "
+                         f"{n_hosts} hosts")
+    return make_hybrid_mesh((per_host,), (n_hosts,), ("host", "model"),
+                            devices=devices)
