@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Cold first-sweep compile wall of the batched U(1) DMRG at chi=1024
+N=16 (VERDICT r1 item 6: target < 120 s cold; measured 457 s on
+2026-08-18 before program dedupe).
+
+Run on the real TPU.  Reports: unique compiled programs, first-sweep
+wall time (compile-dominated), steady-state sweep time.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--N", type=int, default=16)
+    ap.add_argument("--chi", type=int, default=1024)
+    ap.add_argument("--B", type=int, default=8)
+    ap.add_argument("--m", type=int, default=10)
+    args = ap.parse_args()
+
+    from tensornetwork_tpu.blocksparse.batched import (
+        random_data_batch, uniform_skeleton_mps)
+    from tensornetwork_tpu.models.symmetric_dmrg import u1_xxz_mpo
+    from tensornetwork_tpu.models.symmetric_dmrg_batched import (
+        BatchedSymmetricDMRG)
+
+    log(f"devices: {jax.devices()}")
+    jax.device_get(jnp.ones(4))
+    log("transfer path warm")
+
+    t0 = time.perf_counter()
+    skel = uniform_skeleton_mps(args.N, args.chi, dtype=np.float32)
+    data = random_data_batch(skel, args.B, seed=1)
+    mpo = u1_xxz_mpo(1.0, 1.0, 0.0, args.N)
+    dmrg = BatchedSymmetricDMRG(skel, data, mpo,
+                                num_krylov_vecs=args.m)
+    log(f"setup (skeletons + env skeletons): "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    es = dmrg.run_one_site(num_sweeps=1, tol=0)
+    first = time.perf_counter() - t0
+    n_prog = len(dmrg._programs) + len(dmrg._canon_programs)
+    log(f"first sweep (cold compile): {first:.1f}s; "
+        f"unique programs: {len(dmrg._programs)} site + "
+        f"{len(dmrg._canon_programs)} canon")
+    t0 = time.perf_counter()
+    es = dmrg.run_one_site(num_sweeps=1, tol=0)
+    log(f"steady-state sweep: {time.perf_counter() - t0:.2f}s; "
+        f"E mean {np.mean(dmrg.energies[-1]):.6f}")
+
+
+if __name__ == "__main__":
+    main()

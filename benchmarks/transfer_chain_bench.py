@@ -45,7 +45,7 @@ def main():
     log(f"config B={B} N={N} chi={chi} R={R}: "
         f"{flops / 1e12:.2f} TFLOP/dispatch")
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=(1,))
     def make(key, dtype):
         A = jax.random.normal(key, (B, N, chi, d, chi), jnp.float32)
         A = (A / np.sqrt(d * chi)).astype(dtype)
