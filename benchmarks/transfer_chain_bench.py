@@ -49,7 +49,7 @@ def main():
     def make(key, dtype):
         A = jax.random.normal(key, (B, N, chi, d, chi), jnp.float32)
         A = (A / np.sqrt(d * chi)).astype(dtype)
-        E0 = jnp.broadcast_to(jnp.eye(chi, jnp.float32), (B, chi, chi))
+        E0 = jnp.broadcast_to(jnp.eye(chi, dtype=jnp.float32), (B, chi, chi))
         return A, E0.astype(dtype)
 
     oracle = None
