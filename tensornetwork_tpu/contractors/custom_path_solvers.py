@@ -122,6 +122,14 @@ def full_solve_complete(
     n = log_adj0.shape[0]
     if n == 1:
         return np.zeros((2, 0), dtype=int), 0.0, True
+    if max_branch is None and cost_bound is None and 2 < n <= 22:
+        # exact optimum from the native DP scheduler (C++, subsets DP —
+        # reaches n~20 where the Python branch-and-bound stops at ~8)
+        from tensornetwork_tpu import native
+        res = native.optimal_order_masks(log_adj0)
+        if res is not None:
+            merges, cost = res
+            return native.masks_to_index_pairs(merges, n), cost, True
     # initial upper bound from greedy
     g_order, g_cost = greedy_cost_solve(log_adj0)
     best_cost = g_cost if cost_bound is None else min(g_cost, cost_bound)

@@ -34,17 +34,72 @@ def _resolve_algorithm(algorithm: PathAlgorithm) -> Callable:
     return table[algorithm]
 
 
+def native_optimal_path(input_sets, output_set, size_dict,
+                        memory_limit=None):
+    """Exact optimal path from the native (C++) subset-DP scheduler
+    (:mod:`tensornetwork_tpu.native`), in opt_einsum's path convention
+    (contracted pair removed, result appended).  Returns ``None`` when
+    the native library is unavailable or the network has hyper-edges
+    (a symbol shared by 3+ operands, or an output symbol shared by 2)
+    the adjacency model cannot represent."""
+    from tensornetwork_tpu import native
+    n = len(input_sets)
+    if n > 22 or not native.available():
+        return None
+    adj = np.zeros((n, n))
+    for sym, d in ((s, size_dict[s])
+                   for s in {x for g in input_sets for x in g}):
+        holders = [k for k in range(n) if sym in input_sets[k]]
+        ld = np.log10(d)
+        if len(holders) == 1:
+            adj[holders[0], holders[0]] += ld
+        elif len(holders) == 2 and sym not in output_set:
+            i, k = holders
+            adj[i, k] += ld
+            adj[k, i] += ld
+        else:
+            return None  # hyper-edge / open batch symbol
+    res = native.optimal_order_masks(adj)
+    if res is None:
+        return None
+    merges, _ = res
+    current = [1 << i for i in range(n)]
+    path = []
+    for (ma, mb) in merges:
+        i = current.index(int(ma))
+        j = current.index(int(mb))
+        path.append(tuple(sorted((i, j))))
+        current = [c for k, c in enumerate(current) if k not in (i, j)]
+        current.append(int(ma) | int(mb))
+    return path
+
+
+def _native_or(fallback: Callable) -> Callable:
+    def algo(input_sets, output_set, size_dict, memory_limit=None):
+        path = native_optimal_path(input_sets, output_set, size_dict,
+                                   memory_limit)
+        if path is not None:
+            return path
+        return fallback(input_sets, output_set, size_dict, memory_limit)
+    return algo
+
+
 def auto_algorithm(n_operands: int) -> Callable:
     """Size-based policy of the reference ``auto`` contractor
-    (reference ``path_contractors.py:197-265``)."""
+    (reference ``path_contractors.py:197-265``), upgraded: the native
+    exact-optimal scheduler covers every size the reference handed to
+    the approximate ``branch-*`` heuristics (5 <= n < 15), falling back
+    to the reference policy when unavailable."""
     if n_operands < 5:
-        return opt_einsum.paths.optimal
+        return _native_or(opt_einsum.paths.optimal)
     if n_operands < 7:
-        return opt_einsum.paths.branch_all
+        return _native_or(opt_einsum.paths.branch_all)
     if n_operands < 9:
-        return opt_einsum.paths.branch_2
+        return _native_or(opt_einsum.paths.branch_2)
     if n_operands < 15:
-        return opt_einsum.paths.branch_1
+        return _native_or(opt_einsum.paths.branch_1)
+    if n_operands < 19:
+        return _native_or(opt_einsum.paths.greedy)
     return opt_einsum.paths.greedy
 
 
