@@ -662,7 +662,7 @@ def heff_matvec_reference(L, W, R, x):
 
 def make_transfer_chain(chi: int, d: int, n_sites: int, tile_b: int = 8,
                         accum_dtype=jnp.float32, interpret: bool = False,
-                        precision=None):
+                        precision=None, variant: str = "loop"):
     """Whole-chain MPS transfer contraction: for each instance,
     ``E <- sum_{a,c,s} E[a,c] A_n[a,s,b] A_n[c,s,p]`` applied over all
     ``n_sites`` sites, with the environment resident in VMEM for the whole
@@ -688,23 +688,38 @@ def make_transfer_chain(chi: int, d: int, n_sites: int, tile_b: int = 8,
     def kernel(A_ref, E0_ref, out_ref, E_scr):
         n = pl.program_id(1)
         in_dtype = A_ref.dtype
-        dotT = lambda a, b: jax.lax.dot_general(
-            a, b, (((0,), (0,)), ((), ())),
-            precision=precision, preferred_element_type=accum_dtype)
 
         @pl.when(n == 0)
         def _():
             E_scr[...] = E0_ref[...].astype(accum_dtype)
 
-        for i in range(tile_b):
-            Eb = E_scr[i].astype(in_dtype)
-            acc = None
-            for s in range(d):
-                A_s = A_ref[i, 0, s]
-                Y = dotT(Eb, A_s)                   # (c, b)
-                contrib = dotT(Y.astype(in_dtype), A_s)   # (b, p)
-                acc = contrib if acc is None else acc + contrib
-            E_scr[i] = acc
+        if variant == "dg":
+            # one batched dot_general per dependency layer: the whole
+            # tile's GEMMs issue as a single MXU op chain
+            Eb = E_scr[...].astype(in_dtype)          # (i, a, c)
+            A = A_ref[:, 0]                           # (i, s, a, b)
+            Y = jax.lax.dot_general(
+                Eb, A, (((1,), (2,)), ((0,), (0,))),
+                precision=precision,
+                preferred_element_type=accum_dtype)   # (i, c, s, b)
+            E2 = jax.lax.dot_general(
+                Y.astype(in_dtype), A, (((1, 2), (2, 1)), ((0,), (0,))),
+                precision=precision,
+                preferred_element_type=accum_dtype)   # (i, b, p)
+            E_scr[...] = E2
+        else:
+            dotT = lambda a, b: jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=accum_dtype)
+            for i in range(tile_b):
+                Eb = E_scr[i].astype(in_dtype)
+                acc = None
+                for s in range(d):
+                    A_s = A_ref[i, 0, s]
+                    Y = dotT(Eb, A_s)                 # (c, b)
+                    contrib = dotT(Y.astype(in_dtype), A_s)   # (b, p)
+                    acc = contrib if acc is None else acc + contrib
+                E_scr[i] = acc
 
         @pl.when(n == n_sites - 1)
         def _():
@@ -749,12 +764,14 @@ def transfer_chain_xla(As, E0, precision=None):
 
 
 def transfer_chain(As, E0, impl: str = "pallas", tile_b: int = 8,
-                   interpret: bool = False, precision=None):
+                   interpret: bool = False, precision=None,
+                   variant: str = "loop", accum_dtype=jnp.float32):
     """Batched MPS norm/overlap environment over a whole chain.
 
     As: (B, N, chi, d, chi) stacked MPS (solver layout), E0: (B, chi, chi).
     ``impl="pallas"`` keeps E in VMEM across all sites (MXU-bound);
-    ``impl="xla"`` is the scan-of-einsum reference."""
+    ``impl="xla"`` is the scan-of-einsum reference.  ``variant="dg"``
+    issues each dependency layer as one batched dot_general."""
     B, N, chi, d, _ = As.shape
     if impl == "xla":
         return transfer_chain_xla(As, E0, precision=precision)
@@ -763,5 +780,6 @@ def transfer_chain(As, E0, impl: str = "pallas", tile_b: int = 8,
     while B % tile_b:
         tile_b -= 1
     fk = make_transfer_chain(chi, d, N, tile_b=tile_b,
-                             interpret=interpret, precision=precision)
+                             interpret=interpret, precision=precision,
+                             variant=variant, accum_dtype=accum_dtype)
     return fk(Ak, E0)
