@@ -208,12 +208,15 @@ def _local_solve_1s(Lenv: Array, W: Array, Renv: Array, A: Array,
         # is ~16 MB/core; chi=256 (8.9 MB raw) is measured-safe, chi=512
         # (35 MB) is not — fall back to the XLA Lanczos there.
         vmem_bytes = 4 * chi * chi * (2 * M + d * (num_krylov_vecs + 4))
-        if vmem_bytes <= 12 * 2**20:
+        # two-pass (no basis storage) footprint: L, R + ~6 working tiles
+        vmem_2pass = 4 * chi * chi * (2 * M + 6 * d)
+        if vmem_bytes <= 12 * 2**20 or vmem_2pass <= 12 * 2**20:
             from tensornetwork_tpu.ops import kernels
             ev, evec = kernels.fused_lanczos_ground_state(
                 Lenv[None], W, Renv[None], A[None],
                 num_krylov_vecs=num_krylov_vecs, ritz_method=ritz_impl,
-                interpret=interpret, precision=jax.lax.Precision.HIGHEST)
+                interpret=interpret, precision=jax.lax.Precision.HIGHEST,
+                two_pass=vmem_bytes > 12 * 2**20)
             return ev[0], evec[0]
     mv = lambda x: _matvec_1s(Lenv, W, Renv, x, matvec_prec)
     evals, evecs = krylov.eigsh_lanczos(

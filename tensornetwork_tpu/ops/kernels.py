@@ -254,12 +254,172 @@ def make_fused_lanczos(chi: int, d: int, M: int, m: int,
     return f
 
 
+def make_fused_lanczos_2pass(chi: int, d: int, M: int, m: int,
+                             delta: float = 1e-8,
+                             accum_dtype=jnp.float32,
+                             interpret: bool = False,
+                             precision=None):
+    """Large-chi whole-Lanczos kernels WITHOUT Krylov-basis storage
+    (VERDICT r1 item 3: the single-pass kernel's ``m·d·chi²`` basis
+    exceeds VMEM at chi=512).  Classic two-pass Lanczos:
+
+      pass 1 (``fact``): three-term recurrence, emits only (alphas,
+        betas) — VMEM holds L, R and ~4 working tiles, independent of m;
+      pass 2 (``replay``): bitwise-identical recurrence (same matvec
+        ops, coefficients read back from pass 1) accumulating the Ritz
+        vector ``y = sum_j weights[j] · v_j`` on the fly.
+
+    2x the matvec cost of the single-pass kernel, but the footprint
+    drops from ``(2M + d(m+4))·chi²`` to ``(2M + ~5d)·chi²`` floats.
+    """
+    LARGE = 1e10
+
+    def _matvec(W_ref, Lt_ref, Rt_ref, dot):
+        def matvec(v):
+            P = [[dot(Lt_ref[0, w], v[t]) for t in range(d)]
+                 for w in range(M)]
+            y = []
+            for s in range(d):
+                acc = None
+                for vv in range(M):
+                    Q = None
+                    for w in range(M):
+                        for t in range(d):
+                            term = W_ref[w, vv, s, t] * P[w][t]
+                            Q = term if Q is None else Q + term
+                    contrib = dot(Q, Rt_ref[0, vv])
+                    acc = contrib if acc is None else acc + contrib
+                y.append(acc)
+            return y
+        return matvec
+
+    def fact_kernel(W_ref, Lt_ref, Rt_ref, x_ref, ab_ref):
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=accum_dtype)
+        matvec = _matvec(W_ref, Lt_ref, Rt_ref, dot)
+        vdot = lambda a, b: sum(jnp.sum(a[t] * b[t]) for t in range(d))
+        x0 = [x_ref[0, t].astype(accum_dtype) for t in range(d)]
+        nrm = jnp.sqrt(vdot(x0, x0))
+        inv = jnp.where(nrm > delta, 1.0 / jnp.where(nrm > 0, nrm, 1.0),
+                        0.0)
+        v = [x0[t] * inv for t in range(d)]
+        v_prev = [jnp.zeros_like(v[t]) for t in range(d)]
+        beta_prev = jnp.zeros((), accum_dtype)
+        alive = nrm > delta
+        for j in range(m):
+            w = matvec(v)
+            alpha = vdot(v, w)
+            ab_ref[0, 0, j] = jnp.where(alive, alpha, LARGE)
+            w = [w[t] - alpha * v[t] - beta_prev * v_prev[t]
+                 for t in range(d)]
+            beta = jnp.sqrt(vdot(w, w))
+            alive_next = jnp.logical_and(alive, beta > delta)
+            if j < m - 1:
+                ab_ref[0, 1, j] = jnp.where(alive_next, beta, 0.0)
+            inv = jnp.where(beta > delta,
+                            1.0 / jnp.where(beta > 0, beta, 1.0), 0.0)
+            keep = alive_next.astype(accum_dtype)
+            v_prev = v
+            v = [w[t] * inv * keep for t in range(d)]
+            beta_prev = jnp.where(alive_next, beta, 0.0)
+            alive = alive_next
+        ab_ref[0, 1, m - 1] = 0.0
+
+    def replay_kernel(W_ref, wt_ref, ab_ref, Lt_ref, Rt_ref, x_ref,
+                      y_ref):
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=accum_dtype)
+        matvec = _matvec(W_ref, Lt_ref, Rt_ref, dot)
+        vdot = lambda a, b: sum(jnp.sum(a[t] * b[t]) for t in range(d))
+        x0 = [x_ref[0, t].astype(accum_dtype) for t in range(d)]
+        nrm = jnp.sqrt(vdot(x0, x0))
+        inv = jnp.where(nrm > delta, 1.0 / jnp.where(nrm > 0, nrm, 1.0),
+                        0.0)
+        v = [x0[t] * inv for t in range(d)]
+        v_prev = [jnp.zeros_like(v[t]) for t in range(d)]
+        y = [jnp.zeros_like(v[t]) for t in range(d)]
+        for j in range(m):
+            wj = wt_ref[0, j]
+            y = [y[t] + wj * v[t] for t in range(d)]
+            if j == m - 1:
+                break
+            w = matvec(v)
+            alpha = ab_ref[0, 0, j]
+            # dead-step sentinel (+LARGE) never reaches the arithmetic:
+            # its v is all-zero, so alpha*v = 0 regardless — but clamp
+            # anyway to keep inf/nan out of the multiply
+            alpha = jnp.where(jnp.abs(alpha) >= LARGE, 0.0, alpha)
+            beta_prev = ab_ref[0, 1, jnp.maximum(j - 1, 0)] * (
+                1.0 if j > 0 else 0.0)
+            w = [w[t] - alpha * v[t] - beta_prev * v_prev[t]
+                 for t in range(d)]
+            beta = ab_ref[0, 1, j]
+            inv = jnp.where(beta > delta,
+                            1.0 / jnp.where(beta > 0, beta, 1.0), 0.0)
+            v_prev = v
+            v = [w[t] * inv for t in range(d)]
+        for t in range(d):
+            y_ref[0, t] = y[t].astype(y_ref.dtype)
+
+    def bs(lead, shape):
+        return pl.BlockSpec(
+            (1, lead) + shape,
+            lambda i: (i, 0) + (0,) * len(shape),
+            memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def fact(Lt, W, Rt, x0):
+        B = x0.shape[0]
+        return pl.pallas_call(
+            fact_kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((M, M, d, d), lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.SMEM),
+                bs(M, (chi, chi)),
+                bs(M, (chi, chi)),
+                bs(d, (chi, chi)),
+            ],
+            out_specs=pl.BlockSpec((1, 2, m), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((B, 2, m), accum_dtype),
+            interpret=interpret,
+        )(W, Lt, Rt, x0)
+
+    @jax.jit
+    def replay(Lt, W, Rt, x0, weights, ab):
+        B = x0.shape[0]
+        return pl.pallas_call(
+            replay_kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((M, M, d, d), lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, m), lambda i: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2, m), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                bs(M, (chi, chi)),
+                bs(M, (chi, chi)),
+                bs(d, (chi, chi)),
+            ],
+            out_specs=bs(d, (chi, chi)),
+            out_shape=jax.ShapeDtypeStruct((B, d, chi, chi), x0.dtype),
+            interpret=interpret,
+        )(W, weights, ab, Lt, Rt, x0)
+
+    return fact, replay
+
+
 def fused_lanczos_ground_state(L, W, R, x0, num_krylov_vecs: int,
                                ritz_method: str = "power",
                                power_iters: int = 60,
                                delta: float = 1e-8,
                                interpret: bool = False,
-                               precision=None):
+                               precision=None,
+                               two_pass: bool = False):
     """Batched ground-state Lanczos via the fused kernel.
 
     Solver-layout operands (batched): L (B,a,M,c), W (M,M,d,d),
@@ -277,15 +437,28 @@ def fused_lanczos_ground_state(L, W, R, x0, num_krylov_vecs: int,
     # only off-TPU / in interpret mode; the chip path is f32)
     accum = x0.dtype if x0.dtype == jnp.float64 else jnp.float32
     Lt, W_, Rt, xt = prepare_operands(L, W, R, x0)
-    fl = make_fused_lanczos(chi, d, M, m, delta=delta,
-                            accum_dtype=accum,
-                            interpret=interpret, precision=precision)
-    V, ab = fl(Lt, W_, Rt, xt)
-    alphas, betas = ab[:, 0, :], ab[:, 1, : m - 1]
-    evals, weights = jax.vmap(
-        lambda al, be: krylov.tridiag_ritz(al, be, ritz_method,
-                                           power_iters))(alphas, betas)
-    y = jnp.einsum("Bm,Bmtab->Btab", weights.astype(V.dtype), V)
+    if two_pass:
+        fact, replay = make_fused_lanczos_2pass(
+            chi, d, M, m, delta=delta, accum_dtype=accum,
+            interpret=interpret, precision=precision)
+        ab = fact(Lt, W_, Rt, xt)
+        alphas, betas = ab[:, 0, :], ab[:, 1, : m - 1]
+        evals, weights = jax.vmap(
+            lambda al, be: krylov.tridiag_ritz(al, be, ritz_method,
+                                               power_iters))(alphas,
+                                                             betas)
+        y = replay(Lt, W_, Rt, xt, weights.astype(accum), ab)
+    else:
+        fl = make_fused_lanczos(chi, d, M, m, delta=delta,
+                                accum_dtype=accum,
+                                interpret=interpret, precision=precision)
+        V, ab = fl(Lt, W_, Rt, xt)
+        alphas, betas = ab[:, 0, :], ab[:, 1, : m - 1]
+        evals, weights = jax.vmap(
+            lambda al, be: krylov.tridiag_ritz(al, be, ritz_method,
+                                               power_iters))(alphas,
+                                                             betas)
+        y = jnp.einsum("Bm,Bmtab->Btab", weights.astype(V.dtype), V)
     nrm = jnp.sqrt(jnp.sum(y * y, axis=(1, 2, 3), keepdims=True))
     y = y / jnp.where(nrm > delta, nrm, 1.0)
     # kernel layout [t, a, b] -> solver layout [a, t, b]
