@@ -71,6 +71,42 @@ def main():
         f"E = {e_single:.6f} (reference converged {REFERENCE_ENERGY:.6f}, "
         f"delta {e_single - REFERENCE_ENERGY:.2e})")
 
+    # --- chi=128 MXU utilization (VERDICT r1 #1: report MFU) ---
+    # batched chi=128 MPS transfer contraction, bf16, chain of R=8
+    # applications inside one jit (dispatch-amortized); MFU vs the
+    # chip's measured 122 TF bf16 GEMM peak (BASELINE.md)
+    try:
+        from tensornetwork_tpu.ops.kernels import transfer_chain
+        import functools
+        B128, chi128, R = 256, 128, 8
+        A128 = jax.random.normal(jax.random.PRNGKey(3),
+                                 (B128, N, chi128, 2, chi128), jnp.float32)
+        A128 = (A128 / np.sqrt(2 * chi128)).astype(jnp.bfloat16)
+        E0 = jnp.broadcast_to(jnp.eye(chi128, dtype=jnp.bfloat16),
+                              (B128, chi128, chi128))
+        run1 = functools.partial(transfer_chain, impl="pallas", tile_b=16)
+
+        @jax.jit
+        def chain(A, E0):
+            def body(i, E):
+                return run1(A, E.astype(jnp.bfloat16)).astype(jnp.float32)
+            return jax.lax.fori_loop(0, R, body, E0.astype(jnp.float32))
+
+        out = chain(A128, E0)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = chain(A128, E0)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / 5
+        tf = R * B128 * N * 2 * 4 * chi128 ** 3 / dt / 1e12
+        log(f"chi=128 batched transfer contraction (B={B128}, bf16, "
+            f"VMEM-resident chain kernel): {tf:.1f} TFLOP/s = "
+            f"{tf / 122.0 * 100:.0f}% MFU of measured 122 TF peak "
+            f"({tf / 197.0 * 100:.0f}% of nominal)")
+    except Exception as e:  # never let the MFU probe kill the headline
+        log(f"chi=128 MFU probe failed: {type(e).__name__}: {e}")
+
     # --- batched per-chip throughput (the headline) ---
     keys = jax.random.split(jax.random.PRNGKey(1), B)
     As_b = jnp.stack([random_mps_stack(kk, N, chi, 2, dtype)
@@ -97,6 +133,31 @@ def main():
     energies = np.asarray(jax.device_get(res.energy))
     log(f"batched: {agg_rate:.0f} instance-sweeps/s per chip; "
         f"E span [{energies.min():.4f}, {energies.max():.4f}]")
+
+    # --- chi=128 batched DMRG (the VERDICT r1 target shape) ---
+    try:
+        B2, chi2 = 64, 128
+        keys2 = jax.random.split(jax.random.PRNGKey(2), B2)
+        As_b2 = jnp.stack([random_mps_stack(kk, N, chi2, 2, dtype)
+                           for kk in keys2])
+        res2 = batched_one_site_sweep(As_b2, mpo.Ws, mpo.vL, mpo.vR,
+                                      num_krylov_vecs=m)
+        jax.block_until_ready(res2.As)
+        res2 = batched_one_site_sweep(res2.As, mpo.Ws, mpo.vL, mpo.vR,
+                                      num_krylov_vecs=m, renvs=res2.renvs)
+        jax.block_until_ready(res2.As)
+        As_b2, rv2 = res2.As, res2.renvs
+        t0 = time.perf_counter()
+        for _ in range(3):
+            res2 = batched_one_site_sweep(As_b2, mpo.Ws, mpo.vL, mpo.vR,
+                                          num_krylov_vecs=m, renvs=rv2)
+            As_b2, rv2 = res2.As, res2.renvs
+        jax.block_until_ready(As_b2)
+        rate2 = B2 * 3 / (time.perf_counter() - t0)
+        log(f"batched chi=128 (B={B2}): {rate2:.0f} instance-sweeps/s "
+            f"per chip")
+    except Exception as e:
+        log(f"chi=128 batched sweep probe failed: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "dmrg_tfi_n32_chi64_instance_sweeps_per_s_per_chip",

@@ -36,6 +36,30 @@ def bench_dispatch(fn, *args, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
+def gemm_ceiling_independent():
+    """NON-chained (fully independent) batched GEMMs at the chain's
+    shapes: the per-shape MXU ceiling with zero dependency stalls —
+    the honest denominator for the transfer-chain kernel's MFU."""
+    for (G, M, K, N_) in ((4096, 128, 128, 128), (2048, 128, 128, 256),
+                          (2048, 128, 256, 128), (1024, 128, 256, 256),
+                          (512, 256, 256, 256), (64, 512, 512, 512)):
+        key = jax.random.PRNGKey(0)
+        a = jax.random.normal(key, (G, M, K), jnp.bfloat16)
+        b = jax.random.normal(key, (G, K, N_), jnp.bfloat16)
+
+        @jax.jit
+        def one(a, b):
+            return jax.lax.dot_general(
+                a, b, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+
+        dt = bench_dispatch(one, a, b, iters=20)
+        flops = 2 * G * M * K * N_
+        tf = flops / dt / 1e12
+        log(f"GEMM indep ({G:4d},{M},{K})x({K},{N_}): {tf:6.1f} TF "
+            f"({tf / MEASURED_PEAK_TF * 100:4.1f}% of measured peak)")
+
+
 def gemm_ceiling():
     """Chained batched GEMMs of the transfer-chain shapes: the practical
     per-shape MXU ceiling (pure XLA, no kernel)."""
@@ -87,12 +111,12 @@ def chain_variants():
         A, E0 = make(jax.random.PRNGKey(0), jnp.bfloat16)
         jax.block_until_ready(A)
         flops = R * B * N * d * 4 * chi ** 3
-        for variant, tile_b, acc in (("loop", 32, jnp.float32),
-                                     ("dg", 8, jnp.float32),
-                                     ("dg", 16, jnp.float32),
-                                     ("dg", 32, jnp.float32),
-                                     ("dg", 32, jnp.bfloat16),
-                                     ("loop", 32, jnp.bfloat16)):
+        for variant, tile_b, acc in (("loop", 8, jnp.float32),
+                                     ("loop", 16, jnp.float32),
+                                     ("rows", 8, jnp.float32),
+                                     ("rows", 16, jnp.float32),
+                                     ("rows", 32, jnp.float32),
+                                     ("rows", 4, jnp.float32)):
             if chi >= 256 and tile_b > 16:
                 continue
             try:
@@ -123,18 +147,19 @@ def main():
     log(f"devices: {jax.devices()}")
     jax.device_get(jnp.ones(4))
     log("warm")
-    gemm_ceiling()
+    if "--indep" in sys.argv:
+        gemm_ceiling_independent()
+    if "--chained" in sys.argv:
+        gemm_ceiling()
     chain_variants()
-    # two-site stage profile in the same session
-    import importlib
-    tsp = importlib.import_module("benchmarks.two_site_profile") if False \
-        else None
-    sys.argv = ["two_site_profile", "256", "64"]
-    src = open(os.path.join(os.path.dirname(__file__),
-                            "two_site_profile.py")).read()
-    src = src.replace('if __name__ == "__main__":', 'if True:')
-    g = {"__name__": "two_site_profile_lab"}
-    exec(compile(src, "two_site_profile.py", "exec"), g)
+    if "--two-site" in sys.argv:
+        sys.argv = ["two_site_profile.py", "256", "64"]
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "two_site_profile.py")
+        src = open(path).read()
+        src = src.replace('if __name__ == "__main__":', 'if True:')
+        g = {"__name__": "two_site_profile_lab", "__file__": path}
+        exec(compile(src, path, "exec"), g)
 
 
 if __name__ == "__main__":

@@ -480,12 +480,19 @@ def two_site_sweep(
     lanczos_impl: Optional[str] = None,
     trunc_impl: Optional[str] = None,
     trunc_iters: Optional[int] = None,
+    renvs: Optional[Array] = None,
 ) -> SweepResult:
     """One full two-site DMRG sweep (reference ``run_two_site``,
     ``dmrg.py:445``).  Bond truncation back to the static ``chi`` uses the
     masked SVD; the squared truncated weight is accumulated.
     ``boundary_envs``/``qr_impl``/``ritz_impl`` as in
-    :func:`one_site_sweep`."""
+    :func:`one_site_sweep`.
+
+    ``renvs``: the previous sweep's ``SweepResult.renvs`` (shape
+    (N-1, chi, M, chi)) — the reverse pass leaves the stack
+    right-canonical with the center at site 0 and emits exactly the
+    right environments the next forward pass consumes, so chaining
+    skips the re-canonicalization prepass."""
     qr_impl = QR_IMPL if qr_impl is None else qr_impl
     ritz_impl = RITZ_IMPL if ritz_impl is None else ritz_impl
     matvec_prec = MATVEC_PRECISION if matvec_prec is None else matvec_prec
@@ -498,7 +505,7 @@ def two_site_sweep(
     return _two_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs,
                                boundary_envs, qr_impl, ritz_impl, reorth,
                                matvec_prec, lanczos_impl, interpret,
-                               trunc_impl, trunc_iters)
+                               trunc_impl, trunc_iters, renvs)
 
 
 @functools.partial(
@@ -509,26 +516,34 @@ def two_site_sweep(
 def _two_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs, boundary_envs,
                         qr_impl, ritz_impl, reorth=True, matvec_prec=None,
                         lanczos_impl="xla", interpret=False,
-                        trunc_impl="svd", trunc_iters=4):
+                        trunc_impl="svd", trunc_iters=4, renvs=None):
     with jax.default_matmul_precision("highest"):
         return _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                                     boundary_envs, qr_impl, ritz_impl,
                                     reorth, matvec_prec, lanczos_impl,
-                                    interpret, trunc_impl, trunc_iters)
+                                    interpret, trunc_impl, trunc_iters,
+                                    renvs)
 
 
 def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                          boundary_envs=None, qr_impl=None, ritz_impl=None,
                          reorth=True, matvec_prec=None,
                          lanczos_impl="xla", interpret=False,
-                         trunc_impl="svd", trunc_iters=4):
+                         trunc_impl="svd", trunc_iters=4, renvs=None):
     if ritz_impl is None:
         ritz_impl = RITZ_IMPL
     N, chi, d, _ = As.shape
-    As, Renvs = right_canonicalize_and_envs(
-        As, Ws, vL, vR,
-        R0=None if boundary_envs is None else boundary_envs[1],
-        qr_impl=qr_impl)
+    if renvs is None:
+        As, Renvs_full = right_canonicalize_and_envs(
+            As, Ws, vL, vR,
+            R0=None if boundary_envs is None else boundary_envs[1],
+            qr_impl=qr_impl)
+        step_renvs = Renvs_full[1:]
+    else:
+        # sweep chaining: the previous reverse pass left As2[1:]
+        # right-canonical (truncation isometries), the center at site 0,
+        # and emitted exactly these (N-1) bond-step environments.
+        step_renvs = renvs
     if boundary_envs is None:
         L0 = _boundary_left(chi, vL)
     else:
@@ -568,7 +583,7 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
 
     carry0 = (L0, As[0], jnp.zeros((), real_dtype))
     (Lenv_f, last, terr_lr), (Us, Lenvs, Es_lr) = jax.lax.scan(
-        body_lr, carry0, (As[1:], Ws[:-1], Ws[1:], Renvs[1:]))
+        body_lr, carry0, (As[1:], Ws[:-1], Ws[1:], step_renvs))
     As1 = jnp.concatenate([Us, last[None]], axis=0)
     # left envs emitted at bond i correspond to site i; for the R->L pass we
     # need Lenvs[i] for bonds (i, i+1), i = N-2..0 — exactly Lenvs.
@@ -607,13 +622,16 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
             tsq = res.trunc_sq_norm
         Renv_new = _update_right(Renv, V, W2)
         terr = terr + tsq.astype(real_dtype)
-        return (Renv_new, US, terr), (V, E0)
+        return (Renv_new, US, terr), (V, E0, Renv)
 
     carry0 = (R0, As1[-1], terr_lr)
-    (_, first, terr), (Vs, Es_rl) = jax.lax.scan(
+    (_, first, terr), (Vs, Es_rl, Renvs_out) = jax.lax.scan(
         body_rl, carry0, (As1[:-1], Ws[:-1], Ws[1:], Lenvs), reverse=True)
     As2 = jnp.concatenate([first[None], Vs], axis=0)
-    return SweepResult(As2, Es_rl[0], Es_rl, terr)
+    # Renvs_out[i] is the carry-in env at bond (i, i+1) — env of sites
+    # > i+1 in the final gauge: exactly what the next forward pass's
+    # bond step i consumes (sweep chaining via ``renvs=``).
+    return SweepResult(As2, Es_rl[0], Es_rl, terr, Renvs_out)
 
 
 def random_mps_stack(
@@ -653,7 +671,9 @@ class FiniteDMRG:
     def _run(self, sweep_fn, num_sweeps, num_krylov_vecs, tol, verbose):
         e_prev = None
         renvs = None
-        chain = sweep_fn is one_site_sweep  # sweep chaining (see renvs)
+        # sweep chaining (see SweepResult.renvs); both sweep kinds emit
+        # the env stack their own next forward pass consumes
+        chain = sweep_fn in (one_site_sweep, two_site_sweep)
         for sweep in range(num_sweeps):
             kw = {"renvs": renvs} if chain else {}
             res = sweep_fn(self.As, self.mpo.Ws, self.mpo.vL, self.mpo.vR,

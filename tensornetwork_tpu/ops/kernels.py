@@ -867,8 +867,10 @@ def make_transfer_chain(chi: int, d: int, n_sites: int, tile_b: int = 8,
             E_scr[...] = E0_ref[...].astype(accum_dtype)
 
         if variant == "dg":
-            # one batched dot_general per dependency layer: the whole
-            # tile's GEMMs issue as a single MXU op chain
+            # NEGATIVE RESULT (2026-08-20, remote Mosaic): batched
+            # dot_general inside the kernel fails to lower ('tpu.matmul'
+            # op Not implemented: lhs batch).  Kept for interpret-mode
+            # reference only; use "loop" or "rows" on hardware.
             Eb = E_scr[...].astype(in_dtype)          # (i, a, c)
             A = A_ref[:, 0]                           # (i, s, a, b)
             Y = jax.lax.dot_general(
@@ -880,6 +882,23 @@ def make_transfer_chain(chi: int, d: int, n_sites: int, tile_b: int = 8,
                 precision=precision,
                 preferred_element_type=accum_dtype)   # (i, b, p)
             E_scr[...] = E2
+        elif variant == "rows":
+            # A arrives row-stacked: A2[(s, a), b] (d*chi, chi).  Stage 1
+            # still needs d separate chi^3 GEMMs (contraction over a only)
+            # but stage 2 contracts over the fused (s, c) axis as ONE
+            # GEMM of depth d*chi — half the stage-2 weight loads and a
+            # 2x-deeper systolic accumulation, which is exactly what the
+            # measured shape ladder rewards (BASELINE.md GEMM ceilings).
+            dotT = lambda a, b: jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                precision=precision, preferred_element_type=accum_dtype)
+            for i in range(tile_b):
+                Eb = E_scr[i].astype(in_dtype)
+                A2 = A_ref[i, 0]                      # (d*chi, chi)
+                Ys = [dotT(Eb, A2[s * chi:(s + 1) * chi])  # (c, b)
+                      for s in range(d)]
+                Y2 = jnp.concatenate(Ys, axis=0).astype(in_dtype)
+                E_scr[i] = dotT(Y2, A2)               # (b, p)
         else:
             dotT = lambda a, b: jax.lax.dot_general(
                 a, b, (((0,), (0,)), ((), ())),
@@ -904,13 +923,19 @@ def make_transfer_chain(chi: int, d: int, n_sites: int, tile_b: int = 8,
         if B % tile_b != 0:
             raise ValueError(f"batch {B} not divisible by tile {tile_b}")
         grid = (B // tile_b, n_sites)
+        if variant == "rows":
+            a_spec = pl.BlockSpec((tile_b, 1, d * chi, chi),
+                                  lambda i, n: (i, n, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        else:
+            a_spec = pl.BlockSpec((tile_b, 1, d, chi, chi),
+                                  lambda i, n: (i, n, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((tile_b, 1, d, chi, chi),
-                             lambda i, n: (i, n, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
+                a_spec,
                 pl.BlockSpec((tile_b, chi, chi), lambda i, n: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -948,7 +973,11 @@ def transfer_chain(As, E0, impl: str = "pallas", tile_b: int = 8,
     B, N, chi, d, _ = As.shape
     if impl == "xla":
         return transfer_chain_xla(As, E0, precision=precision)
-    Ak = jnp.transpose(As, (0, 1, 3, 2, 4))   # (B, N, s, a, b)
+    if variant == "rows":
+        # row-stacked layout A2[(s, a), b]
+        Ak = jnp.transpose(As, (0, 1, 3, 2, 4)).reshape(B, N, d * chi, chi)
+    else:
+        Ak = jnp.transpose(As, (0, 1, 3, 2, 4))   # (B, N, s, a, b)
     tile_b = min(tile_b, B)
     while B % tile_b:
         tile_b -= 1

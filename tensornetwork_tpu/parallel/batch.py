@@ -114,13 +114,16 @@ def batched_two_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
                            reorth: bool = False,
                            lanczos_impl=None,
                            trunc_impl=None,
-                           trunc_iters=None):
+                           trunc_iters=None,
+                           renvs=None):
     """Two-site batched sweep; batched-default impls as in
     :func:`batched_one_site_sweep` (incl. the fused Pallas Lanczos on
     TPU).  Bond truncation defaults to the matmul-only subspace
     iteration on TPU — the batched (B,128,128) SVD serializes (218 ms
     per call = 13.5 s per B=256 chi=64 sweep); pass
-    ``trunc_impl="svd"`` for exact reference SVD semantics."""
+    ``trunc_impl="svd"`` for exact reference SVD semantics.
+    ``renvs``: previous result's ``.renvs`` — skips the
+    re-canonicalization prepass (sweep chaining)."""
     if lanczos_impl is None:
         lanczos_impl = ("fused" if jax.default_backend() == "tpu"
                         else _dmrg.LANCZOS_IMPL)
@@ -131,7 +134,7 @@ def batched_two_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
         trunc_iters = _dmrg.TRUNC_ITERS
     return _batched_two_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
                                  qr_impl, ritz_impl, reorth, lanczos_impl,
-                                 trunc_impl, trunc_iters)
+                                 trunc_impl, trunc_iters, renvs)
 
 
 @functools.partial(
@@ -141,13 +144,20 @@ def batched_two_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
 def _batched_two_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
                           qr_impl, ritz_impl, reorth=False,
                           lanczos_impl="xla", trunc_impl="svd",
-                          trunc_iters=4):
-    fn = lambda As: _dmrg.two_site_sweep(
+                          trunc_iters=4, renvs=None):
+    if renvs is None:
+        fn = lambda As: _dmrg.two_site_sweep(
+            As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
+            qr_impl=qr_impl, ritz_impl=ritz_impl, reorth=reorth,
+            lanczos_impl=lanczos_impl, trunc_impl=trunc_impl,
+            trunc_iters=trunc_iters)
+        return jax.vmap(fn)(As_batch)
+    fn = lambda As, rv: _dmrg.two_site_sweep(
         As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
         qr_impl=qr_impl, ritz_impl=ritz_impl, reorth=reorth,
         lanczos_impl=lanczos_impl, trunc_impl=trunc_impl,
-        trunc_iters=trunc_iters)
-    return jax.vmap(fn)(As_batch)
+        trunc_iters=trunc_iters, renvs=rv)
+    return jax.vmap(fn)(As_batch, renvs)
 
 
 class BatchedDMRG:
@@ -175,22 +185,26 @@ class BatchedDMRG:
     def run_one_site(self, num_sweeps: int = 4,
                      num_krylov_vecs: int = 10) -> jax.Array:
         """Returns per-instance energies (B,)."""
+        renvs = None
         for _ in range(num_sweeps):
             res = batched_one_site_sweep(
                 self.As, self.mpo.Ws, self.mpo.vL, self.mpo.vR,
-                num_krylov_vecs=num_krylov_vecs)
+                num_krylov_vecs=num_krylov_vecs, renvs=renvs)
             self.As = res.As
             self.energies = res.energy
+            renvs = res.renvs
         return self.energies
 
     def run_two_site(self, num_sweeps: int = 4,
                      num_krylov_vecs: int = 10) -> jax.Array:
+        renvs = None
         for _ in range(num_sweeps):
             res = batched_two_site_sweep(
                 self.As, self.mpo.Ws, self.mpo.vL, self.mpo.vR,
-                num_krylov_vecs=num_krylov_vecs)
+                num_krylov_vecs=num_krylov_vecs, renvs=renvs)
             self.As = res.As
             self.energies = res.energy
+            renvs = res.renvs
         return self.energies
 
 

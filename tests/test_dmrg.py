@@ -215,6 +215,36 @@ def test_one_site_dmrg_matvec_precision_knob():
         np.testing.assert_allclose(float(res.energy), exact, rtol=1e-6)
 
 
+def test_two_site_sweep_chaining():
+    # feeding SweepResult.renvs into the next two-site sweep skips the
+    # re-canonicalization prepass; the chained iteration must converge
+    # to the same exact ground energy as the unchained one
+    from tensornetwork_tpu.models.dmrg import two_site_sweep
+    N, chi = 8, 10
+    mpo = FiniteTFI(Jx=-1.0, Bz=-0.8, N=N)
+    exact = exact_ground_energy(mpo)
+    As = random_mps_stack(jax.random.PRNGKey(6), N, chi)
+    renvs = None
+    for _ in range(6):
+        res = two_site_sweep(As, mpo.Ws, mpo.vL, mpo.vR,
+                             num_krylov_vecs=20, renvs=renvs)
+        As, renvs = res.As, res.renvs
+    assert res.renvs.shape == (N - 1, chi, mpo.Ws.shape[1], chi)
+    np.testing.assert_allclose(float(res.energy), exact, rtol=1e-7)
+    # batched wrapper accepts and emits the same chaining stack
+    from tensornetwork_tpu.parallel.batch import batched_two_site_sweep
+    B = 2
+    keys = jax.random.split(jax.random.PRNGKey(8), B)
+    As_b = jnp.stack([random_mps_stack(k, N, chi) for k in keys])
+    rv = None
+    for _ in range(6):
+        resb = batched_two_site_sweep(As_b, mpo.Ws, mpo.vL, mpo.vR,
+                                      num_krylov_vecs=20, renvs=rv)
+        As_b, rv = resb.As, resb.renvs
+    np.testing.assert_allclose(np.asarray(resb.energy),
+                               np.full(B, exact), rtol=1e-6)
+
+
 def test_two_site_dmrg_subspace_truncation():
     # matmul-only truncation path (TPU batched default): converges to
     # the exact ground energy within the inexact-projector floor (~1e-9

@@ -138,6 +138,11 @@ def test_transfer_chain_matches_xla(rng):
     out2 = transfer_chain(As, E0, impl="pallas", tile_b=3, interpret=True)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
                                rtol=2e-5, atol=1e-6)
+    # "rows" variant (row-stacked A, fused-depth stage-2 GEMM)
+    out3 = transfer_chain(As, E0, impl="pallas", tile_b=2, interpret=True,
+                          variant="rows")
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref),
+                               rtol=2e-5, atol=1e-6)
 
 
 def test_fused_lanczos_two_pass_matches_single(rng):
