@@ -134,6 +134,55 @@ def main():
     log(f"batched: {agg_rate:.0f} instance-sweeps/s per chip; "
         f"E span [{energies.min():.4f}, {energies.max():.4f}]")
 
+    # --- novel-capability probes (no reference analog): VUMPS + TDVP ---
+    # compact so driver-captured stderr covers them every round
+    try:
+        import importlib
+        V = importlib.import_module("tensornetwork_tpu.models.vumps")
+        W = mpo.Ws[N // 2]
+        lams = V.mpo_diagonal_coefficients(W)
+        state = V.random_vumps_state(jax.random.PRNGKey(4), 64, 2, dtype)
+        state, e_v, err_v, _, _ = V.vumps_iteration(state, W, lams)
+        jax.block_until_ready(state.AC)
+        for _ in range(10):
+            state, e_v, err_v, _, _ = V.vumps_iteration(state, W, lams)
+        _ = float(e_v)
+        k = 8
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state, e_v, err_v, _, _ = V.vumps_iteration(state, W, lams)
+        _ = float(e_v)
+        log(f"VUMPS chi=64 (critical TFI, infinite chain): "
+            f"{k / (time.perf_counter() - t0):.1f} iterations/s, "
+            f"e = {float(e_v):.6f} (exact -4/pi = {-4 / np.pi:.6f})")
+    except Exception as e:
+        log(f"VUMPS probe failed: {type(e).__name__}: {e}")
+
+    try:
+        from tensornetwork_tpu.ops.split_complex import SC
+        from tensornetwork_tpu.parallel.batch import (
+            batched_tdvp_one_site_sweep_sc)
+        Bq = 64
+        keysq = jax.random.split(jax.random.PRNGKey(5), Bq)
+        As_q = jnp.stack([random_mps_stack(kk, N, chi, 2, dtype)
+                          for kk in keysq])
+        psi = SC(As_q, jnp.zeros_like(As_q))
+        psi = batched_tdvp_one_site_sweep_sc(psi, mpo.Ws, mpo.vL, mpo.vR,
+                                             dt=0.05, num_krylov_vecs=m)
+        jax.block_until_ready(psi.re)
+        k = 3
+        t0 = time.perf_counter()
+        for _ in range(k):
+            psi = batched_tdvp_one_site_sweep_sc(
+                psi, mpo.Ws, mpo.vL, mpo.vR, dt=0.05, num_krylov_vecs=m)
+        jax.block_until_ready(psi.re)
+        _ = float(jnp.sum(jnp.abs(psi.re[0, 0])))
+        log(f"batched real-time TDVP (split-complex, B={Bq} quenches): "
+            f"{Bq * k / (time.perf_counter() - t0):.0f} inst-sweeps/s "
+            f"per chip")
+    except Exception as e:
+        log(f"TDVP probe failed: {type(e).__name__}: {e}")
+
     # --- chi=128 batched DMRG (the VERDICT r1 target shape) ---
     try:
         B2, chi2 = 64, 128

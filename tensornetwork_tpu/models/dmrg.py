@@ -31,6 +31,7 @@ import numpy as np
 from tensornetwork_tpu.models.mpo import MPO
 from tensornetwork_tpu.ops import krylov
 from tensornetwork_tpu.ops.decompositions import cholqr2 as _cholqr2
+from tensornetwork_tpu.ops.decompositions import ns_polar as _ns_polar_impl
 from tensornetwork_tpu.ops.decompositions import (subspace_truncate,
                                                   svd_masked)
 
@@ -79,40 +80,9 @@ def _boundary_right(chi: int, vR: Array) -> Array:
     return jnp.einsum("bd,v->bvd", jnp.eye(chi, dtype=vR.dtype), vR)
 
 
-def _ns_polar(m: Array, quintic_iters: Optional[int] = None,
-              cubic_iters: Optional[int] = None) -> Tuple[Array, Array]:
-    """Polar decomposition m = Q·P (Q column-isometric, P = Q†m) by a
-    matmul-only iteration, so it rides the MXU where batched Householder
-    QR serializes.  DMRG gauge shifts only need *some* isometric/rest
-    split, so the triangularity of QR is not required.
-
-    Plain cubic Newton-Schulz stalls on ill-conditioned panels (singular
-    values grow only ~1.5x/step from near zero).  Hybrid schedule instead:
-    aggressive quintic steps (coefficients from the Muon/"polar express"
-    family, growth ~3.44x/step) inflate the small singular values, then
-    cubic steps polish quadratically.  Measured (f64, 24x12 panels):
-    ||Q†Q-I|| < 1e-15 up to cond 1e10, ~3e-4 at cond 1e12.
-
-    Iteration counts default dtype-aware: f32 only needs (14, 7) for
-    full f32 isometry up to cond 1e7 (validated), f64 keeps (20, 10) —
-    a ~35% cut of the gauge-shift matmuls in the batched f32 sweeps."""
-    if quintic_iters is None:
-        quintic_iters = 14 if m.dtype == jnp.float32 else 20
-    if cubic_iters is None:
-        cubic_iters = 7 if m.dtype == jnp.float32 else 10
-    k = m.shape[-1]
-    nrm = jnp.linalg.norm(m, axis=(-2, -1), keepdims=True)
-    X = m / jnp.where(nrm > 0, nrm * 1.01, 1.0)
-    eye = jnp.eye(k, dtype=m.dtype)
-    a, b, c = 3.4445, -4.7750, 2.0315
-    for _ in range(quintic_iters):
-        G = jnp.conj(X.swapaxes(-1, -2)) @ X
-        X = a * X + X @ (b * G + c * (G @ G))
-    for _ in range(cubic_iters):
-        G = jnp.conj(X.swapaxes(-1, -2)) @ X
-        X = 0.5 * X @ (3.0 * eye - G)
-    P = jnp.conj(X.swapaxes(-1, -2)) @ m
-    return X, P
+# canonical implementation lives in ops.decompositions (shared with the
+# subspace-truncation orthonormalizer); kept under the historical name
+_ns_polar = _ns_polar_impl
 
 
 QR_IMPL = "householder"  # "householder" | "cholesky" | "polar"
@@ -153,6 +123,12 @@ TRUNC_IMPL = "svd"  # "svd" | "subspace" — two-site bond truncation.
 # difference is MPS gauge.  Batched wrappers default to it on TPU.
 
 TRUNC_ITERS = 4  # subspace-iteration count for trunc_impl="subspace"
+
+TRUNC_ORTH = "qr"  # "qr" | "polar" | "polar+qr" | "cholqr2" — the
+# per-iteration orthonormalizer inside the subspace truncation (see
+# ops.decompositions.subspace_truncate).  Batched Householder QR costs
+# ~4-5x one NS polar on TPU at B=256 chi=64; "polar+qr" keeps the exact
+# final completion.  Resolved at call time like QR_IMPL.
 
 LANCZOS_IMPL = "xla"  # "xla" | "fused"
 # "fused" runs the one-site local eigensolve through the Pallas
@@ -480,6 +456,7 @@ def two_site_sweep(
     lanczos_impl: Optional[str] = None,
     trunc_impl: Optional[str] = None,
     trunc_iters: Optional[int] = None,
+    trunc_orth: Optional[str] = None,
     renvs: Optional[Array] = None,
 ) -> SweepResult:
     """One full two-site DMRG sweep (reference ``run_two_site``,
@@ -501,35 +478,38 @@ def two_site_sweep(
                         else LANCZOS_IMPL)
     trunc_impl = TRUNC_IMPL if trunc_impl is None else trunc_impl
     trunc_iters = TRUNC_ITERS if trunc_iters is None else trunc_iters
+    trunc_orth = TRUNC_ORTH if trunc_orth is None else trunc_orth
     interpret = jax.default_backend() != "tpu"
     return _two_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs,
                                boundary_envs, qr_impl, ritz_impl, reorth,
                                matvec_prec, lanczos_impl, interpret,
-                               trunc_impl, trunc_iters, renvs)
+                               trunc_impl, trunc_iters, trunc_orth, renvs)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth",
                      "matvec_prec", "lanczos_impl", "interpret",
-                     "trunc_impl", "trunc_iters"))
+                     "trunc_impl", "trunc_iters", "trunc_orth"))
 def _two_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs, boundary_envs,
                         qr_impl, ritz_impl, reorth=True, matvec_prec=None,
                         lanczos_impl="xla", interpret=False,
-                        trunc_impl="svd", trunc_iters=4, renvs=None):
+                        trunc_impl="svd", trunc_iters=4, trunc_orth="qr",
+                        renvs=None):
     with jax.default_matmul_precision("highest"):
         return _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                                     boundary_envs, qr_impl, ritz_impl,
                                     reorth, matvec_prec, lanczos_impl,
                                     interpret, trunc_impl, trunc_iters,
-                                    renvs)
+                                    trunc_orth, renvs)
 
 
 def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                          boundary_envs=None, qr_impl=None, ritz_impl=None,
                          reorth=True, matvec_prec=None,
                          lanczos_impl="xla", interpret=False,
-                         trunc_impl="svd", trunc_iters=4, renvs=None):
+                         trunc_impl="svd", trunc_iters=4, trunc_orth="qr",
+                         renvs=None):
     if ritz_impl is None:
         ritz_impl = RITZ_IMPL
     N, chi, d, _ = As.shape
@@ -564,7 +544,7 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         if trunc_impl == "subspace":
             st = subspace_truncate(th, chi,
                                    q0=pending.reshape(chi * d, chi),
-                                   iters=trunc_iters)
+                                   iters=trunc_iters, orth=trunc_orth)
             s_norm = jnp.linalg.norm(st.rest)
             U = st.q.reshape(chi, d, chi)
             SV = (st.rest / jnp.where(s_norm > 0, s_norm, 1.0)
@@ -606,7 +586,7 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         if trunc_impl == "subspace":
             st = subspace_truncate(th.T, chi,
                                    q0=pending.reshape(chi, d * chi).T,
-                                   iters=trunc_iters)
+                                   iters=trunc_iters, orth=trunc_orth)
             # th.T ~ q @ rest  =>  th ~ rest.T @ q.T = US @ V
             s_norm = jnp.linalg.norm(st.rest)
             US = (st.rest.T / jnp.where(s_norm > 0, s_norm, 1.0)

@@ -140,6 +140,48 @@ def eigh(tensor, pivot_axis: int = -1):
     return e, v.reshape(left + (v.shape[1],))
 
 
+def ns_polar(m: Array, quintic_iters: Optional[int] = None,
+             cubic_iters: Optional[int] = None) -> Tuple[Array, Array]:
+    """Polar decomposition m = Q·P (Q column-isometric, P = Q†m) by a
+    matmul-only iteration, so it rides the MXU where batched Householder
+    QR serializes.  DMRG gauge shifts and subspace-iteration
+    orthonormalization only need *some* isometric/rest split, so the
+    triangularity of QR is not required.
+
+    Plain cubic Newton-Schulz stalls on ill-conditioned panels (singular
+    values grow only ~1.5x/step from near zero).  Hybrid schedule instead:
+    aggressive quintic steps (coefficients from the Muon/"polar express"
+    family, growth ~3.44x/step) inflate the small singular values, then
+    cubic steps polish quadratically.  Measured (f64, 24x12 panels):
+    ||Q†Q-I|| < 1e-15 up to cond 1e10, ~3e-4 at cond 1e12.
+
+    Iteration counts default dtype-aware: f32 only needs (14, 7) for
+    full f32 isometry up to cond 1e7 (validated), f64 keeps (20, 10) —
+    a ~35% cut of the gauge-shift matmuls in the batched f32 sweeps.
+
+    CAVEAT: on exactly rank-deficient panels the result is a PARTIAL
+    isometry (null columns stay zero) — where a full isometric
+    completion matters use Householder QR or
+    :func:`tensornetwork_tpu.ops.split_complex.polar_complete`."""
+    if quintic_iters is None:
+        quintic_iters = 14 if m.dtype == jnp.float32 else 20
+    if cubic_iters is None:
+        cubic_iters = 7 if m.dtype == jnp.float32 else 10
+    k = m.shape[-1]
+    nrm = jnp.linalg.norm(m, axis=(-2, -1), keepdims=True)
+    X = m / jnp.where(nrm > 0, nrm * 1.01, 1.0)
+    eye = jnp.eye(k, dtype=m.dtype)
+    a, b, c = 3.4445, -4.7750, 2.0315
+    for _ in range(quintic_iters):
+        G = jnp.conj(X.swapaxes(-1, -2)) @ X
+        X = a * X + X @ (b * G + c * (G @ G))
+    for _ in range(cubic_iters):
+        G = jnp.conj(X.swapaxes(-1, -2)) @ X
+        X = 0.5 * X @ (3.0 * eye - G)
+    P = jnp.conj(X.swapaxes(-1, -2)) @ m
+    return X, P
+
+
 def cholqr2(m: Array) -> Tuple[Array, Array]:
     """Cholesky-QR2: Q with orthonormal columns, R upper triangular.
     Two passes restore f32 orthogonality (condition-squared of one pass);
@@ -356,11 +398,17 @@ def subspace_truncate(matrix, k: int, q0=None, iters: int = 6,
     the Gram matrix per orthogonalization — numerically unsafe at f32
     (squared spectrum collapses; measured garbage on chip), keep 1.
     ``orth``: per-iteration orthonormalizer.  "qr" (batched Householder)
-    is the default — DMRG thetas have numerical rank ~k (they are built
-    from rank-k pieces), every iterate is rank-deficient, and
+    is the exact default — DMRG thetas have numerical rank ~k (they are
+    built from rank-k pieces), every iterate is rank-deficient, and
     Cholesky-based orthonormalization NaNs on the null space at f32;
     Householder completes it exactly.  "cholqr2" is the matmul-only
-    fast path for full-rank inputs.
+    fast path for full-rank inputs.  "polar" orthonormalizes every
+    iterate with the Newton-Schulz polar factor (matmul-only; handles
+    cond up to ~1e7 at f32 but leaves exact-null columns zero);
+    "polar+qr" runs polar on the intermediate iterates and one final
+    Householder QR to complete the basis exactly — the batched-TPU
+    sweet spot (batched Householder QR costs ~4-5x one NS polar at
+    B=256, chi=64; measured 2026-08-20).
     """
     m = matrix.shape[-2]
     batch = matrix.shape[:-2]
@@ -375,10 +423,16 @@ def subspace_truncate(matrix, k: int, q0=None, iters: int = 6,
     # normalize so repeated applications stay in range (f32)
     gnorm = jnp.linalg.norm(G, axis=(-2, -1), keepdims=True)
     Gn = G / jnp.where(gnorm > 0, gnorm, 1.0)
-    orth_fn = (cholqr2 if orth == "cholqr2"
-               else lambda y: jnp.linalg.qr(y))
+    if orth == "cholqr2":
+        orth_fns = [cholqr2] * iters
+    elif orth == "polar":
+        orth_fns = [ns_polar] * iters
+    elif orth == "polar+qr":
+        orth_fns = [ns_polar] * (iters - 1) + [jnp.linalg.qr]
+    else:
+        orth_fns = [jnp.linalg.qr] * iters
     q = q0
-    for _ in range(iters):
+    for orth_fn in orth_fns:
         y = Gn @ q
         if power > 1:
             for _ in range(power - 1):

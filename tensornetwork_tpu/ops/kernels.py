@@ -887,29 +887,35 @@ def make_transfer_chain(chi: int, d: int, n_sites: int, tile_b: int = 8,
             # still needs d separate chi^3 GEMMs (contraction over a only)
             # but stage 2 contracts over the fused (s, c) axis as ONE
             # GEMM of depth d*chi — half the stage-2 weight loads and a
-            # 2x-deeper systolic accumulation, which is exactly what the
-            # measured shape ladder rewards (BASELINE.md GEMM ceilings).
+            # 2x-deeper systolic accumulation.  The two stages are issued
+            # PHASED across the tile (all stage-1 GEMMs for every
+            # instance, then all stage-2): consecutive MXU ops are then
+            # independent, so systolic fill/drain overlaps — the
+            # instance-major order serializes on each instance's
+            # 2-dependent-GEMM chain instead (measured 2026-08-20).
             dotT = lambda a, b: jax.lax.dot_general(
                 a, b, (((0,), (0,)), ((), ())),
                 precision=precision, preferred_element_type=accum_dtype)
+            Y2s = []
             for i in range(tile_b):
                 Eb = E_scr[i].astype(in_dtype)
                 A2 = A_ref[i, 0]                      # (d*chi, chi)
                 Ys = [dotT(Eb, A2[s * chi:(s + 1) * chi])  # (c, b)
                       for s in range(d)]
-                Y2 = jnp.concatenate(Ys, axis=0).astype(in_dtype)
-                E_scr[i] = dotT(Y2, A2)               # (b, p)
+                Y2s.append(jnp.concatenate(Ys, axis=0).astype(in_dtype))
+            for i in range(tile_b):
+                E_scr[i] = dotT(Y2s[i], A_ref[i, 0])  # (b, p)
         else:
             dotT = lambda a, b: jax.lax.dot_general(
                 a, b, (((0,), (0,)), ((), ())),
                 precision=precision, preferred_element_type=accum_dtype)
+            Ys = [[dotT(E_scr[i].astype(in_dtype), A_ref[i, 0, s])
+                   for s in range(d)] for i in range(tile_b)]
             for i in range(tile_b):
-                Eb = E_scr[i].astype(in_dtype)
                 acc = None
                 for s in range(d):
-                    A_s = A_ref[i, 0, s]
-                    Y = dotT(Eb, A_s)                 # (c, b)
-                    contrib = dotT(Y.astype(in_dtype), A_s)   # (b, p)
+                    contrib = dotT(Ys[i][s].astype(in_dtype),
+                                   A_ref[i, 0, s])    # (b, p)
                     acc = contrib if acc is None else acc + contrib
                 E_scr[i] = acc
 

@@ -245,10 +245,13 @@ def test_two_site_sweep_chaining():
                                np.full(B, exact), rtol=1e-6)
 
 
-def test_two_site_dmrg_subspace_truncation():
+@pytest.mark.parametrize("trunc_orth", ["qr", "polar+qr", "polar"])
+def test_two_site_dmrg_subspace_truncation(trunc_orth):
     # matmul-only truncation path (TPU batched default): converges to
     # the exact ground energy within the inexact-projector floor (~1e-9
-    # at f64, far below the f32 on-chip floor).
+    # at f64, far below the f32 on-chip floor).  The NS-polar
+    # orthonormalizers replace the serializing batched Householder QR
+    # on TPU (trunc_orth knob, measured in BASELINE.md).
     from tensornetwork_tpu.models.dmrg import two_site_sweep
     N, chi = 8, 12
     mpo = FiniteTFI(Jx=-1.0, Bz=-1.0, N=N)  # critical point, worst gaps
@@ -257,6 +260,6 @@ def test_two_site_dmrg_subspace_truncation():
     for _ in range(8):
         res = two_site_sweep(As, mpo.Ws, mpo.vL, mpo.vR,
                              num_krylov_vecs=16, trunc_impl="subspace",
-                             trunc_iters=6)
+                             trunc_iters=6, trunc_orth=trunc_orth)
         As = res.As
     np.testing.assert_allclose(float(res.energy), exact, rtol=1e-7)
