@@ -56,6 +56,9 @@ def main():
                          renvs=res.renvs)
     As = res.As
     jax.block_until_ready(As)
+    # timing anchor: a device_get of the final energy, which depends on
+    # the whole chained computation — block_until_ready alone has been
+    # observed to return early on this backend (CLAUDE.md 2026-08-20)
     k = 10
     rv = res.renvs
     t0 = time.perf_counter()
@@ -63,9 +66,8 @@ def main():
         res = one_site_sweep(As, mpo.Ws, mpo.vL, mpo.vR, num_krylov_vecs=m,
                              renvs=rv)
         As, rv = res.As, res.renvs
-    jax.block_until_ready(As)
-    single_rate = k / (time.perf_counter() - t0)
     e_single = float(res.energy)
+    single_rate = k / (time.perf_counter() - t0)
     log(f"single instance: {single_rate:.2f} sweeps/s "
         f"({single_rate / REFERENCE_SWEEPS_PER_S:.1f}x reference); "
         f"E = {e_single:.6f} (reference converged {REFERENCE_ENERGY:.6f}, "
@@ -90,20 +92,21 @@ def main():
         def chain(A, E0):
             def body(i, E):
                 return run1(A, E.astype(jnp.bfloat16)).astype(jnp.float32)
-            return jax.lax.fori_loop(0, R, body, E0.astype(jnp.float32))
+            E = jax.lax.fori_loop(0, R, body, E0.astype(jnp.float32))
+            return jnp.sum(jnp.abs(E))   # scalar: honest device_get sync
 
-        out = chain(A128, E0)
-        jax.block_until_ready(out)
+        jax.device_get(chain(A128, E0))
         t0 = time.perf_counter()
         for _ in range(5):
-            out = chain(A128, E0)
-        jax.block_until_ready(out)
+            out = jax.device_get(chain(A128, E0))
         dt = (time.perf_counter() - t0) / 5
         tf = R * B128 * N * 2 * 4 * chi128 ** 3 / dt / 1e12
         log(f"chi=128 batched transfer contraction (B={B128}, bf16, "
-            f"VMEM-resident chain kernel): {tf:.1f} TFLOP/s = "
-            f"{tf / 122.0 * 100:.0f}% MFU of measured 122 TF peak "
-            f"({tf / 197.0 * 100:.0f}% of nominal)")
+            f"VMEM-resident chain kernel, honest timing): {tf:.1f} "
+            f"TFLOP/s = {tf / 30.8 * 100:.0f}% of the 1-MXU 128-tile "
+            f"issue-rate cap (~30.8 TF), {tf / 109.6 * 100:.0f}% of the "
+            f"chip's honest 109.6 TF big-GEMM peak — see BASELINE.md "
+            f"'MXU ceiling analysis'")
     except Exception as e:  # never let the MFU probe kill the headline
         log(f"chi=128 MFU probe failed: {type(e).__name__}: {e}")
 
@@ -128,9 +131,9 @@ def main():
         res = batched_one_site_sweep(As_b, mpo.Ws, mpo.vL, mpo.vR,
                                      num_krylov_vecs=m, renvs=rv)
         As_b, rv = res.As, res.renvs
-    jax.block_until_ready(As_b)
-    agg_rate = B * k / (time.perf_counter() - t0)
+    # device_get anchors the timing (energies depend on the whole chain)
     energies = np.asarray(jax.device_get(res.energy))
+    agg_rate = B * k / (time.perf_counter() - t0)
     log(f"batched: {agg_rate:.0f} instance-sweeps/s per chip; "
         f"E span [{energies.min():.4f}, {energies.max():.4f}]")
 
@@ -175,8 +178,7 @@ def main():
         for _ in range(k):
             psi = batched_tdvp_one_site_sweep_sc(
                 psi, mpo.Ws, mpo.vL, mpo.vR, dt=0.05, num_krylov_vecs=m)
-        jax.block_until_ready(psi.re)
-        _ = float(jnp.sum(jnp.abs(psi.re[0, 0])))
+        _ = float(jnp.sum(jnp.abs(psi.re[0, 0])))   # timing anchor
         log(f"batched real-time TDVP (split-complex, B={Bq} quenches): "
             f"{Bq * k / (time.perf_counter() - t0):.0f} inst-sweeps/s "
             f"per chip")
@@ -201,7 +203,7 @@ def main():
             res2 = batched_one_site_sweep(As_b2, mpo.Ws, mpo.vL, mpo.vR,
                                           num_krylov_vecs=m, renvs=rv2)
             As_b2, rv2 = res2.As, res2.renvs
-        jax.block_until_ready(As_b2)
+        _ = np.asarray(jax.device_get(res2.energy))
         rate2 = B2 * 3 / (time.perf_counter() - t0)
         log(f"batched chi=128 (B={B2}): {rate2:.0f} instance-sweeps/s "
             f"per chip")

@@ -67,8 +67,10 @@ def batched_small(dep: bool):
                              (128, 256, 256, 256, 64),
                              (32, 512, 512, 512, 64)):
         key = jax.random.PRNGKey(1)
-        a = jax.random.normal(key, (G, M, K), jnp.bfloat16) / np.sqrt(K)
-        b = jax.random.normal(key, (G, K, N_), jnp.bfloat16) / np.sqrt(K)
+        a = (jax.random.normal(key, (G, M, K), jnp.float32)
+             / np.sqrt(K)).astype(jnp.bfloat16)
+        b = (jax.random.normal(key, (G, K, N_), jnp.float32)
+             / np.sqrt(K)).astype(jnp.bfloat16)
 
         if dep:
             if M != N_ or M != K:
@@ -85,16 +87,19 @@ def batched_small(dep: bool):
                 return jnp.sum(jnp.abs(x.astype(jnp.float32)))
         else:
 
+            # accumulate the ARRAY, not a scalar: a full reduction per
+            # layer costs more VPU time than the GEMMs themselves and
+            # would swamp the measurement
             @jax.jit
             def run(a, b):
                 def body(acc, _):
                     y = jax.lax.dot_general(
                         a, b, (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32)
-                    return acc + jnp.sum(jnp.abs(y)), ()
-                acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
-                                      None, length=R)
-                return acc
+                        preferred_element_type=jnp.bfloat16)
+                    return acc + y, ()
+                acc0 = jnp.zeros((G, M, N_), jnp.bfloat16)
+                acc, _ = jax.lax.scan(body, acc0, None, length=R)
+                return jnp.sum(jnp.abs(acc.astype(jnp.float32)))
 
         dt = timed_scalar(run, a, b)
         tf = 2 * R * G * M * K * N_ / dt / 1e12
