@@ -27,12 +27,20 @@ def log(*a):
 
 
 def bench_dispatch(fn, *args, iters=5):
+    # honest sync: fetch one element of the last output — bare
+    # block_until_ready can return early on this backend (CLAUDE.md);
+    # the single device executes dispatches in order, so the last
+    # completing implies all completed
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        jax.device_get(jnp.ravel(leaf)[0])
+
     out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / iters
 
 

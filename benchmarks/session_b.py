@@ -77,7 +77,10 @@ def chi_scaling():
             res = one_site_sweep(As, mpo.Ws, mpo.vL, mpo.vR,
                                  num_krylov_vecs=m, renvs=rv)
             As, rv = res.As, res.renvs
-            _ = float(res.energy)   # sync every sweep (honest timing)
+        # single end-sync: the energy depends on the whole chained loop,
+        # and a scalar fetch costs ~10-30 ms RTT — per-sweep fetches
+        # would distort fast configs
+        _ = float(res.energy)
         dt = (time.perf_counter() - t0) / iters
         fl = dmrg_sweep_flops(N, chi, 2, 3, m)
         log(f"chi={chi:4d}: {1 / dt:7.2f} sweeps/s ({dt * 1e3:8.1f} ms, "

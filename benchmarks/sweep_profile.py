@@ -21,13 +21,20 @@ from tensornetwork_tpu.ops import krylov
 from tensornetwork_tpu.parallel.batch import batched_one_site_sweep
 
 
+def _sync(out):
+    # honest sync: fetch one element — bare block_until_ready can return
+    # early on this backend (CLAUDE.md 2026-08-20)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(jnp.ravel(leaf)[0])
+
+
 def bench(fn, *args, iters=3):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -127,14 +134,14 @@ def main():
         return batched_one_site_sweep(As_b, mpo.Ws, mpo.vL, mpo.vR,
                                       num_krylov_vecs=m)
     res = full(As_b)
-    jax.block_until_ready(res.As)
+    _sync(res.As)
     As_b = res.As
     t0 = time.perf_counter()
     k = 3
     for _ in range(k):
         res = full(As_b)
         As_b = res.As
-    jax.block_until_ready(As_b)
+    _sync(res.energy)   # depends on the whole chained computation
     t = (time.perf_counter() - t0) / k
     print(f"FULL batched sweep:    {t * 1e3:8.1f} ms "
           f"({B / t:.0f} inst-sweeps/s)")

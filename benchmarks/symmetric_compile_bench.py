@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--chi", type=int, default=1024)
     ap.add_argument("--B", type=int, default=8)
     ap.add_argument("--m", type=int, default=10)
+    ap.add_argument("--precompile", action="store_true",
+                    help="threaded AOT precompile before the first sweep")
+    ap.add_argument("--workers", type=int, default=8)
     args = ap.parse_args()
 
     from tensornetwork_tpu.blocksparse.batched import (
@@ -49,6 +52,11 @@ def main():
     log(f"setup (skeletons + env skeletons): "
         f"{time.perf_counter() - t0:.1f}s")
 
+    if args.precompile:
+        t0 = time.perf_counter()
+        dmrg.precompile(max_workers=args.workers, verbose=1)
+        log(f"threaded precompile: {time.perf_counter() - t0:.1f}s "
+            f"({args.workers} workers)")
     t0 = time.perf_counter()
     es = dmrg.run_one_site(num_sweeps=1, tol=0)
     first = time.perf_counter() - t0

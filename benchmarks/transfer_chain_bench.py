@@ -71,15 +71,20 @@ def main():
                     return jax.lax.fori_loop(0, R, body, E0.astype(
                         jnp.float32))
 
+                def sync(o):
+                    # honest sync (see CLAUDE.md: bare block_until_ready
+                    # can return early on this backend)
+                    jax.device_get(jnp.ravel(o)[0])
+
                 t0 = time.perf_counter()
                 out = run(A, E0)
-                jax.block_until_ready(out)
+                sync(out)
                 compile_s = time.perf_counter() - t0
                 k = 5
                 t0 = time.perf_counter()
                 for _ in range(k):
                     out = run(A, E0)
-                jax.block_until_ready(out)
+                sync(out)
                 dt = (time.perf_counter() - t0) / k
                 tf = flops / dt / 1e12
                 o = np.asarray(jax.device_get(out), np.float64)

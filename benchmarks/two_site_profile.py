@@ -24,13 +24,20 @@ from tensornetwork_tpu.ops.decompositions import subspace_truncate, svd_masked
 from tensornetwork_tpu.parallel.batch import batched_two_site_sweep
 
 
+def _sync(out):
+    # honest sync: fetch one element (depends on the whole computation);
+    # bare block_until_ready can return early on this backend (CLAUDE.md)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(jnp.ravel(leaf)[0])
+
+
 def bench(fn, *args, iters=3):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -117,11 +124,16 @@ def main():
 
     @jax.jit
     def trunc_svd_chain(thm):
+        # consume u AND vh — returning only s lets XLA dead-code the
+        # singular-vector computation and report a fantasy cost
         with jax.default_matmul_precision("highest"):
             def body(thm, _):
                 res = jax.vmap(lambda a: svd_masked(
                     a, max_singular_values=chi))(thm)
-                return thm, res.s[:, 0]
+                probe = (jnp.sum(res.u[:, 0, :] ** 2, axis=1)
+                         + jnp.sum(res.vh[:, :, 0] ** 2, axis=1)
+                         + res.s[:, 0])
+                return thm, probe
             _, ss = jax.lax.scan(body, thm, None, length=S)
         return ss
 
@@ -155,14 +167,16 @@ def main():
         res = batched_two_site_sweep(As_b, mpo.Ws, mpo.vL, mpo.vR,
                                      num_krylov_vecs=m,
                                      trunc_impl=trunc_impl)
-        jax.block_until_ready(res.As)
+        _sync(res.As)
         t0 = time.perf_counter()
         k = 3
+        As_c = res.As
         for _ in range(k):
-            res = batched_two_site_sweep(As_b, mpo.Ws, mpo.vL, mpo.vR,
+            res = batched_two_site_sweep(As_c, mpo.Ws, mpo.vL, mpo.vR,
                                          num_krylov_vecs=m,
                                          trunc_impl=trunc_impl)
-        jax.block_until_ready(res.As)
+            As_c = res.As
+        _sync(res.energy)   # depends on the chained computation
         dt = (time.perf_counter() - t0) / k
         print(f"full two-site sweep[{trunc_impl}]: {dt * 1e3:8.1f} ms "
               f"= {B / dt:.0f} inst-sweeps/s", flush=True)

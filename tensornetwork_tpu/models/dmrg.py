@@ -184,7 +184,12 @@ def _local_solve_1s(Lenv: Array, W: Array, Renv: Array, A: Array,
         # is ~16 MB/core; chi=256 (8.9 MB raw) is measured-safe, chi=512
         # (35 MB) is not — fall back to the XLA Lanczos there.
         vmem_bytes = 4 * chi * chi * (2 * M + d * (num_krylov_vecs + 4))
-        # two-pass (no basis storage) footprint: L, R + ~6 working tiles
+        # two-pass (no basis storage) footprint: L, R + ~6 working tiles.
+        # NOTE (measured 2026-08-21): at chi=512, M=3, d=2 this is
+        # 18.9 MB — still above VMEM, so chi=512 single-instance runs
+        # the XLA path (latency-bound, ~41 us/dependent GEMM layer; see
+        # BASELINE.md chi-scaling).  Engaging the fused kernel there
+        # needs streamed L/R via manual DMA — future work.
         vmem_2pass = 4 * chi * chi * (2 * M + 6 * d)
         if vmem_bytes <= 12 * 2**20 or vmem_2pass <= 12 * 2**20:
             from tensornetwork_tpu.ops import kernels
