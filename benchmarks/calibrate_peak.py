@@ -25,17 +25,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks._timing import timed_scalar, warmup
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
-
-
-def timed_scalar(fn, *args, iters=3):
-    jax.device_get(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        jax.device_get(fn(*args))
-    return (time.perf_counter() - t0) / iters
 
 
 def big_gemm_peak():
@@ -109,7 +103,7 @@ def batched_small(dep: bool):
 
 def main():
     log(f"devices: {jax.devices()}")
-    jax.device_get(jnp.ones(4))
+    warmup()
     log("warm")
     big_gemm_peak()
     batched_small(dep=False)

@@ -19,6 +19,7 @@ def main():
     args = ap.parse_args()
     import jax
     import jax.numpy as jnp
+    from benchmarks._timing import bracket, warmup
     from tensornetwork_tpu.models import FiniteTFI
     from tensornetwork_tpu.models.dmrg import (one_site_sweep,
                                                random_mps_stack)
@@ -28,7 +29,7 @@ def main():
     print(f"device: {jax.devices()[0]}", flush=True)
     # initialize the transfer path: on tunneled platforms
     # block_until_ready is a no-op until the first device_get completes
-    jax.device_get(jnp.ones(4))
+    warmup()
     mpo = FiniteTFI(Jx=1.0, Bz=1.0, N=args.N, dtype=dtype)
     for chi in [int(c) for c in args.chis.split(",")]:
         As = random_mps_stack(jax.random.PRNGKey(0), args.N, chi, 2, dtype)
@@ -38,13 +39,12 @@ def main():
         jax.block_until_ready(res.As)
         compile_s = time.perf_counter() - t0
         As = res.As
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            res = one_site_sweep(As, mpo.Ws, mpo.vL, mpo.vR,
-                                 num_krylov_vecs=args.m)
-            As = res.As
-        _ = float(res.energy)   # transfer-forced sync
-        dt = (time.perf_counter() - t0) / args.iters
+        with bracket(lambda: res.energy) as b:
+            for _ in range(args.iters):
+                res = one_site_sweep(As, mpo.Ws, mpo.vL, mpo.vR,
+                                     num_krylov_vecs=args.m)
+                As = res.As
+        dt = b.seconds / args.iters
         fl = dmrg_sweep_flops(args.N, chi, 2, 3, args.m)
         print(f"chi={chi:5d}: {1 / dt:8.2f} sweeps/s "
               f"({dt * 1e3:8.1f} ms/sweep, ~{fl / dt / 1e12:6.2f} TFLOP/s, "

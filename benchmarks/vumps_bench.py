@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from benchmarks._timing import bracket, warmup
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -29,7 +31,7 @@ def main():
 
     dtype = jnp.float32
     log(f"devices: {jax.devices()}")
-    jax.device_get(jnp.ones(4))  # warm the transfer path
+    warmup()
 
     W = FiniteTFI(Jx=1.0, Bz=1.0, N=4, dtype=dtype).Ws[1]
     lams = V.mpo_diagonal_coefficients(W)
@@ -46,12 +48,12 @@ def main():
             state, e, err, LW, RW = V.vumps_iteration(state, W, lams)
         jax.block_until_ready(state.AC)
         k = 10
-        t0 = time.perf_counter()
-        for _ in range(k):
-            state, e, err, LW, RW = V.vumps_iteration(state, W, lams)
         # honest timing anchor: e depends on the whole chained iteration
+        with bracket(lambda: e) as b:
+            for _ in range(k):
+                state, e, err, LW, RW = V.vumps_iteration(state, W, lams)
         e, err = float(e), float(err)
-        rate = k / (time.perf_counter() - t0)
+        rate = k / b.seconds
         log(f"chi={chi}: {rate:.1f} iterations/s (compile {compile_s:.0f}s), "
             f"e = {e:.8f} (exact {exact:.8f}, delta {e - exact:.2e}), "
             f"|AC-AL C| = {err:.2e}")

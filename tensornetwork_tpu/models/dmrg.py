@@ -310,10 +310,10 @@ class SweepResult(NamedTuple):
     energy: Array
     energies: Array        # per-site Lanczos energies of the last half-sweep
     trunc_err: Array       # accumulated truncated weight (2-site only)
-    renvs: Optional[Array] = None  # right-env stack in the final gauge
-    # (one-site sweeps only): feeding it back as ``renvs=`` to the next
-    # sweep skips the re-canonicalization prepass (~17% of the sweep) —
-    # the reverse pass has already built exactly these environments.
+    renvs: Optional[Array] = None  # right-env stack in the final gauge:
+    # feeding it back as ``renvs=`` to the next sweep (one- or two-site)
+    # skips the re-canonicalization prepass (~17% of the sweep) — the
+    # reverse pass has already built exactly these environments.
 
 
 def one_site_sweep(

@@ -406,9 +406,11 @@ def subspace_truncate(matrix, k: int, q0=None, iters: int = 6,
     iterate with the Newton-Schulz polar factor (matmul-only; handles
     cond up to ~1e7 at f32 but leaves exact-null columns zero);
     "polar+qr" runs polar on the intermediate iterates and one final
-    Householder QR to complete the basis exactly — the batched-TPU
-    sweet spot (batched Householder QR costs ~4-5x one NS polar at
-    B=256, chi=64; measured 2026-08-20).
+    Householder QR to complete the basis exactly — NOT the TPU choice:
+    in the on-chip two-site A/B (BASELINE.md, 2026-08-20) it DIVERGED
+    (the final QR hits a rank-deficient iterate and the backend's
+    batched QR corrupts the span); plain "polar" is the batched-TPU
+    default (328 inst-sweeps/s at floor -1.7e-5).
     """
     m = matrix.shape[-2]
     batch = matrix.shape[:-2]

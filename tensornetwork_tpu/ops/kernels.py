@@ -979,6 +979,14 @@ def transfer_chain(As, E0, impl: str = "pallas", tile_b: int = 8,
     B, N, chi, d, _ = As.shape
     if impl == "xla":
         return transfer_chain_xla(As, E0, precision=precision)
+    if variant == "dg" and not interpret and jax.default_backend() == "tpu":
+        # remote Mosaic cannot lower batched in-kernel dot_general
+        # ('tpu.matmul' lhs batch unimplemented) — fail with a clear
+        # message instead of an opaque Mosaic error (ADVICE r2)
+        raise ValueError(
+            "transfer_chain variant='dg' does not lower on TPU hardware "
+            "(in-kernel batched dot_general unsupported by Mosaic); use "
+            "variant='loop' or 'rows', or pass interpret=True")
     if variant == "rows":
         # row-stacked layout A2[(s, a), b]
         Ak = jnp.transpose(As, (0, 1, 3, 2, 4)).reshape(B, N, d * chi, chi)

@@ -245,6 +245,25 @@ def test_two_site_sweep_chaining():
                                np.full(B, exact), rtol=1e-6)
 
 
+def test_two_site_chaining_with_subspace_polar():
+    # the actual batched-TPU default combination: renvs chaining +
+    # trunc_impl="subspace" + trunc_orth="polar" (ADVICE r2: this code
+    # path was only ever validated on hardware, not by any CPU test)
+    from tensornetwork_tpu.models.dmrg import two_site_sweep
+    N, chi = 8, 10
+    mpo = FiniteTFI(Jx=-1.0, Bz=-0.8, N=N)
+    exact = exact_ground_energy(mpo)
+    As = random_mps_stack(jax.random.PRNGKey(9), N, chi)
+    renvs = None
+    for _ in range(8):
+        res = two_site_sweep(As, mpo.Ws, mpo.vL, mpo.vR,
+                             num_krylov_vecs=20, renvs=renvs,
+                             trunc_impl="subspace", trunc_orth="polar",
+                             trunc_iters=6)
+        As, renvs = res.As, res.renvs
+    np.testing.assert_allclose(float(res.energy), exact, rtol=1e-6)
+
+
 @pytest.mark.parametrize("trunc_orth", ["qr", "polar+qr", "polar"])
 def test_two_site_dmrg_subspace_truncation(trunc_orth):
     # matmul-only truncation path (TPU batched default): converges to
