@@ -237,3 +237,82 @@ def test_gmres_kernel_inside_jit(rng):
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
                                rtol=1e-5, atol=1e-7)
     assert float(rnorm) < 1e-6
+
+
+def _grcar(n):
+    # Grcar matrix: the classic highly non-normal operator whose Ritz
+    # values look stable long before the Ritz pairs are any good
+    A = np.zeros((n, n))
+    for i in range(n):
+        A[i, i] = 1.0
+        if i > 0:
+            A[i, i - 1] = -1.0
+        for k in (1, 2, 3):
+            if i + k < n:
+                A[i, i + k] = 1.0
+    return A
+
+
+def test_restart_convergence_is_residual_not_drift(rng):
+    # VERDICT r2 item 5: near-defective operators can stall the
+    # eigenvalue drift below tol without the Ritz residual being small.
+    # On the Grcar matrix the wanted-|lambda| drift between consecutive
+    # restarts dips below tol=1e-2 while the true residual stays O(1);
+    # the residual-based criterion must keep reporting non-convergence.
+    import functools
+    n, m, numeig, tol = 100, 12, 1, 1e-2
+    A = _grcar(n)
+    Aj = jnp.asarray(A)
+    mv = lambda x: Aj @ x
+    v0 = jnp.asarray(np.random.default_rng(1).standard_normal(n))
+
+    lam_prev = None
+    min_drift = np.inf
+    resid_at_min = None
+    for maxiter in range(1, 8):
+        V, H, it, conv = jax.jit(functools.partial(
+            krylov._restarted_arnoldi_engine, mv, m=m, numeig=numeig,
+            which="LM", maxiter=maxiter, tol=tol, hermitian=False))(v0)
+        # the residual criterion must never accept: the Ritz residual is
+        # O(1) at every restart here
+        assert not bool(conv)
+        Hm = np.asarray(H)[:m, :m]
+        ev, U = np.linalg.eig(Hm)
+        o = np.argsort(-np.abs(ev))
+        lam, y = ev[o[0]], U[:, o[0]]
+        ritz = np.asarray(V)[:m].T @ y
+        ritz /= np.linalg.norm(ritz)
+        resid = np.linalg.norm(A @ ritz - lam * ritz)
+        if lam_prev is not None:
+            # the old criterion compared the sort keys (|lambda|^2 for LM)
+            drift = (abs(abs(lam) ** 2 - abs(lam_prev) ** 2)
+                     / max(abs(lam) ** 2, 1.0))
+            if drift < min_drift:
+                min_drift, resid_at_min = drift, resid
+        lam_prev = lam
+    # drift stalls below tol (the old criterion would have accepted)...
+    assert min_drift < tol, min_drift
+    # ...while the pair it would have accepted has an O(1) residual
+    assert resid_at_min > 0.1, resid_at_min
+
+
+def test_residual_criterion_still_converges_clean_operator(rng):
+    # sanity: on a well-separated operator the residual criterion does
+    # reach convergence (conv flag True) and the pair is genuinely good
+    import functools
+    n, m = 40, 20
+    A = np.diag(np.linspace(0.1, 1.0, n))
+    A[0, 1] = 0.05  # mildly non-normal
+    Aj = jnp.asarray(A)
+    mv = lambda x: Aj @ x
+    v0 = jnp.asarray(rng.standard_normal(n))
+    V, H, it, conv = jax.jit(functools.partial(
+        krylov._restarted_arnoldi_engine, mv, m=m, numeig=2,
+        which="LM", maxiter=30, tol=1e-8, hermitian=False))(v0)
+    assert bool(conv)
+    evals, vecs = krylov.iram(mv, v0, num_krylov_vecs=m, numeig=1,
+                              which="LM", maxiter=30, tol=1e-8)
+    lam = complex(evals[0])
+    v = np.asarray(vecs[0])
+    assert abs(lam - 1.0) < 1e-6
+    np.testing.assert_allclose(A @ v, (lam * v).real, atol=1e-5)
