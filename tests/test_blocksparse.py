@@ -485,3 +485,134 @@ def test_arithmetic_alignment_and_shape_guard(rng):
         - b.todense().transpose(2, 1, 0), atol=1e-12)
     with pytest.raises(ValueError):
         _ = a + b.transpose((1, 0, 2))
+
+
+# ---------------------------------------------------------------------------
+# Batched tensordot + ncon batch labels / lone-label sums (VERDICT r2 item 7)
+# ---------------------------------------------------------------------------
+
+
+def test_tensordot_batched_matmul_dual_flows(rng):
+    # bra/ket-style batched matmul: batch leg with dual flows
+    from tensornetwork_tpu.blocksparse.tensor import tensordot_batched
+    cb = rand_charge(rng, 6)
+    ci = rand_charge(rng, 5)
+    cj = rand_charge(rng, 4)
+    ck = rand_charge(rng, 5)
+    A, _ = rand_tensor_from([cb, ci, cj], [False, True, False], rng, 1)
+    B, _ = rand_tensor_from([cb, cj, ck], [True, True, False], rng, 2)
+    out = tensordot_batched(A, B, ([2], [1]), ([0], [0]))
+    oracle = np.einsum("bij,bjk->bik", A.todense(), B.todense())
+    np.testing.assert_allclose(out.todense(), oracle, atol=1e-12)
+
+
+def test_tensordot_batched_same_flows(rng):
+    # batch leg with the SAME flow on both operands: the output batch leg
+    # carries doubled charges — still exactly conserving vs the oracle
+    from tensornetwork_tpu.blocksparse.tensor import tensordot_batched
+    cb = rand_charge(rng, 5)
+    cj = rand_charge(rng, 6)
+    ci = rand_charge(rng, 4)
+    ck = rand_charge(rng, 3)
+    A, _ = rand_tensor_from([cb, ci, cj], [False, False, True], rng, 3)
+    B, _ = rand_tensor_from([cb, cj, ck], [False, False, True], rng, 4)
+    out = tensordot_batched(A, B, ([2], [1]), ([0], [0]))
+    oracle = np.einsum("bij,bjk->bik", A.todense(), B.todense())
+    np.testing.assert_allclose(out.todense(), oracle, atol=1e-12)
+
+
+def test_tensordot_batched_no_contraction(rng):
+    # pure batched outer product (shared batch leg, no contracted legs)
+    from tensornetwork_tpu.blocksparse.tensor import tensordot_batched
+    cb = rand_charge(rng, 4)
+    ci = rand_charge(rng, 3)
+    ck = rand_charge(rng, 3)
+    A, _ = rand_tensor_from([cb, ci], [False, True], rng, 5)
+    B, _ = rand_tensor_from([cb, ck], [True, False], rng, 6)
+    out = tensordot_batched(A, B, ([], []), ([0], [0]))
+    oracle = np.einsum("bi,bk->bik", A.todense(), B.todense())
+    np.testing.assert_allclose(out.todense(), oracle, atol=1e-12)
+
+
+def test_tensordot_batched_batch_to_scalar(rng):
+    # all non-batch legs contracted: out[b] = sum_j A[b,j] B[b,j]
+    from tensornetwork_tpu.blocksparse.tensor import tensordot_batched
+    cb = rand_charge(rng, 5)
+    cj = rand_charge(rng, 6)
+    A, _ = rand_tensor_from([cb, cj], [False, True], rng, 7)
+    B, _ = rand_tensor_from([cb, cj], [True, False], rng, 8)
+    out = tensordot_batched(A, B, ([1], [1]), ([0], [0]))
+    oracle = np.einsum("bj,bj->b", A.todense(), B.todense())
+    np.testing.assert_allclose(out.todense(), oracle, atol=1e-12)
+
+
+def rand_tensor_from(charges, flows, rng, seed):
+    from tensornetwork_tpu.blocksparse import randn
+    indices = [Index(c, f) for c, f in zip(charges, flows)]
+    return randn(indices, seed=seed), indices
+
+
+def test_blocksparse_ncon_batch_label(rng):
+    # open (negative) batch label on two operands -> dense ncon batch
+    # semantics on BlockSparseTensor operands
+    from tensornetwork_tpu.ops.ncon import ncon
+    cb = rand_charge(rng, 5)
+    ci = rand_charge(rng, 4)
+    cj = rand_charge(rng, 6)
+    ck = rand_charge(rng, 4)
+    A, _ = rand_tensor_from([cb, ci, cj], [False, True, False], rng, 9)
+    B, _ = rand_tensor_from([cb, cj, ck], [True, True, False], rng, 10)
+    out = ncon([A, B], [[-1, -2, 1], [-1, 1, -3]])
+    oracle = np.einsum("bij,bjk->bik", A.todense(), B.todense())
+    np.testing.assert_allclose(out.todense(), oracle, atol=1e-12)
+
+
+def test_blocksparse_ncon_positive_batch_label_three_tensors(rng):
+    # a positive label on three operands is a batch label that is summed
+    # at the end (reference dense semantics); the final sum densifies
+    from tensornetwork_tpu.ops.ncon import ncon
+    cb = rand_charge(rng, 4)
+    ci = rand_charge(rng, 3)
+    cj = rand_charge(rng, 3)
+    ck = rand_charge(rng, 4)
+    A, _ = rand_tensor_from([cb, ci], [False, True], rng, 11)
+    B, _ = rand_tensor_from([cb, ci, cj], [True, False, False], rng, 12)
+    C, _ = rand_tensor_from([cb, cj, ck], [False, True, True], rng, 13)
+    out = ncon([A, B, C], [[1, 2], [1, 2, 3], [1, 3, -1]])
+    oracle = np.einsum("bi,bij,bjk->k", A.todense(), B.todense(),
+                       C.todense())
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-12)
+
+
+def test_blocksparse_ncon_lone_label_sum(rng):
+    # a once-appearing positive label is summed over (reference
+    # ``backend.sum`` path, ``ncon_interface.py:402-419``); summing a
+    # charged leg leaves the conserving algebra, so the result is dense
+    from tensornetwork_tpu.ops.ncon import ncon
+    ci = rand_charge(rng, 5)
+    cj = rand_charge(rng, 4)
+    A, _ = rand_tensor_from([ci, cj], [False, True], rng, 14)
+    out = ncon([A], [[1, -1]])
+    oracle = A.todense().sum(axis=0)
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-12)
+    # lone labels on both operands of a pair
+    ck = rand_charge(rng, 3)
+    B, _ = rand_tensor_from([cj, ck], [False, True], rng, 15)
+    out2 = ncon([A, B], [[2, 1], [1, 3]])
+    oracle2 = np.einsum("ij,jk->", A.todense(), B.todense())
+    np.testing.assert_allclose(float(np.asarray(out2)), oracle2,
+                               atol=1e-12)
+
+
+def test_tensordot_batched_multi_symmetry(rng):
+    # U1 x Z2 product group through the batched path
+    from tensornetwork_tpu.blocksparse.tensor import tensordot_batched
+    def mk(d):
+        return U1Charge(rng.integers(-1, 2, d)) @ Z2Charge(
+            rng.integers(0, 2, d))
+    cb, ci, cj, ck = mk(4), mk(3), mk(5), mk(3)
+    A, _ = rand_tensor_from([cb, ci, cj], [False, True, False], rng, 16)
+    B, _ = rand_tensor_from([cb, cj, ck], [True, True, False], rng, 17)
+    out = tensordot_batched(A, B, ([2], [1]), ([0], [0]))
+    oracle = np.einsum("bij,bjk->bik", A.todense(), B.todense())
+    np.testing.assert_allclose(out.todense(), oracle, atol=1e-12)
