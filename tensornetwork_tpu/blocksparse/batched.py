@@ -23,6 +23,7 @@ compiled program serving every realization and sweep).
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -253,17 +254,21 @@ def _skel_of_plan_out(plan) -> BlockSparseTensor:
 
 
 def contraction_plan(skel1: BlockSparseTensor, skel2: BlockSparseTensor,
-                     axes, precision: str = "highest"):
+                     axes, precision: str = "highest", ep=None):
     """(single-instance run fn, output skeleton) for a fixed structure.
     The run fn maps flat data vectors -> flat data vector and is
-    jax-traceable, so it may be vmapped/jitted freely."""
+    jax-traceable, so it may be vmapped/jitted freely.
+
+    ``ep=(ndev, axis_name)`` returns the sector-sharded executor instead
+    (one psum per contraction; see ``jax_engine._make_executor``) — it
+    must run inside a ``shard_map`` over ``axis_name``."""
     from tensornetwork_tpu.blocksparse import jax_engine as JE
     if isinstance(axes, int):
         axes1 = list(range(skel1.ndim - axes, skel1.ndim))
         axes2 = list(range(axes))
     else:
         axes1, axes2 = [list(a) for a in axes]
-    plan = JE._get_plan(skel1, skel2, axes1, axes2, precision)
+    plan = JE._get_plan(skel1, skel2, axes1, axes2, precision, ep=ep)
     return plan["run"], (None if plan["scalar"]
                          else _skel_of_plan_out(plan))
 
@@ -317,18 +322,13 @@ class TwoSiteSplitPlan:
         self.left_nnz = left_skel.data.shape[0]
         self.right_nnz = right_skel.data.shape[0]
 
-    def __call__(self, theta: jax.Array, absorb: str
-                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """theta (..., nnz) -> (left data, right data, trunc_sq).
-
-        ``absorb='right'``: left factor U isometric, right = S·Vh
-        (left-to-right sweep); ``absorb='left'``: right factor Vh
-        isometric, left = U·S."""
+    def _apply_blocks(self, blocks, theta: jax.Array, absorb: str
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         batch_shape = theta.shape[:-1]
         ld = jnp.zeros(batch_shape + (self.left_nnz,), theta.dtype)
         rd = jnp.zeros(batch_shape + (self.right_nnz,), theta.dtype)
         terr = jnp.zeros(batch_shape, theta.dtype)
-        for b in self.blocks:
+        for b in blocks:
             blk = theta[..., b["map"]]
             if b["keep"] == 0:
                 terr = terr + jnp.sum(blk * blk, axis=(-2, -1))
@@ -347,4 +347,34 @@ class TwoSiteSplitPlan:
                 rblk = Vk
             ld = ld.at[..., b["lmap"]].set(lblk)
             rd = rd.at[..., b["rmap"]].set(rblk)
+        return ld, rd, terr
+
+    def __call__(self, theta: jax.Array, absorb: str, ep=None
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """theta (..., nnz) -> (left data, right data, trunc_sq).
+
+        ``absorb='right'``: left factor U isometric, right = S·Vh
+        (left-to-right sweep); ``absorb='left'``: right factor Vh
+        isometric, left = U·S.
+
+        ``ep=(ndev, axis_name)`` distributes the ragged per-sector SVDs
+        over the mesh axis (must run inside a ``shard_map``): device
+        ``d`` executes only blocks ``d::ndev`` — selected by
+        ``lax.switch`` on ``axis_index``, so each device compiles and
+        runs just its branch — and the disjoint scatter regions are
+        reassembled with one ``psum`` (the distributed truncation of
+        VERDICT r2 item 2; global-ranking semantics are not needed here
+        because the kept ranks are the static bond profile)."""
+        if ep is None:
+            return self._apply_blocks(self.blocks, theta, absorb)
+        ndev, axis_name = ep
+        branches = [
+            functools.partial(self._apply_blocks, self.blocks[d::ndev],
+                              absorb=absorb)
+            for d in range(ndev)]
+        idx = jax.lax.axis_index(axis_name)
+        ld, rd, terr = jax.lax.switch(idx, branches, theta)
+        ld = jax.lax.psum(ld, axis_name)
+        rd = jax.lax.psum(rd, axis_name)
+        terr = jax.lax.psum(terr, axis_name)
         return ld, rd, terr

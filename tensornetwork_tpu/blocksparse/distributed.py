@@ -1,5 +1,5 @@
 """Cross-device block-sparse execution — the EP-analog axis
-(SURVEY §2.10.2, §7.7; VERDICT round 1 item 4).
+(SURVEY §2.10.2, §7.7; VERDICT round 1 item 4, round 2 item 2).
 
 Charge sectors are independent GEMMs (the reference executes them
 serially in Python, ``block_sparse/blocksparsetensor.py:1094-1101``; the
@@ -7,17 +7,33 @@ single-device engine here buckets them into batched GEMMs,
 ``blocksparse/jax_engine.py``).  This module distributes them over a
 device mesh:
 
-* :func:`tensordot_sharded` — the bucketed sector batch is sharded over a
-  mesh axis with ``shard_map``; every device contracts its sector shard
-  and scatters into a local output vector; sectors touch disjoint output
-  regions, so one ``psum`` over the axis reassembles the full result.
+* :func:`tensordot_sharded` — sectors are partitioned across devices on
+  the host and each device receives ONLY its packed sector slices
+  (sharded ``device_put``; no operand replication).  The jitted body is
+  a handful of batched GEMMs with the device axis sharded — XLA's SPMD
+  partitioner keeps them entirely local — and the single collective is
+  the ``all_gather`` implied by scattering the disjoint per-device
+  sector outputs into the replicated output vector (sectors never
+  overlap, so there is nothing to reduce; the r1 design's full-size
+  ``psum`` of replicated partials is gone).
 * :func:`truncated_svd_distributed` — per-sector SVDs run sharded; the
-  (small) per-sector spectra are ``all_gather``-ed so every device
-  applies the *identical* global cross-sector singular-value ranking the
-  reference computes centrally
-  (``backends/symmetric/decompositions.py:70-120``); the factor matrices
-  are then masked locally.  Semantics match
-  :func:`tensornetwork_tpu.blocksparse.linalg.truncated_svd` exactly.
+  (small) per-sector spectra are gathered and the *global* cross-sector
+  singular-value ranking the reference computes centrally
+  (``backends/symmetric/decompositions.py:70-120``) now runs ON DEVICE
+  (stable argsort + cumulative tail norms), producing a kept-mask that
+  masks the factors in place.  ``output="masked"`` returns the
+  device-resident masked factor stacks with zero host syncs (the form
+  in-jit consumers want); ``output="bst"`` additionally assembles the
+  ragged BlockSparseTensor factors, which requires one host transfer of
+  the kept blocks — ragged (data-dependent) bond dimensions cannot be a
+  compiled-program output, so that transfer is inherent to the dynamic
+  API, exactly as in the reference.
+
+The EP axis *inside* the solvers does not go through this module's host
+packing: ``BatchedSymmetricDMRG(ep_mesh=...)`` uses the sector-sharded
+executors of ``jax_engine._make_executor(ep=...)`` and the distributed
+per-sector truncation of ``batched.TwoSiteSplitPlan.__call__(ep=...)``
+(one psum per contraction, ``lax.switch``-per-device SVD branches).
 
 Both entry points run unchanged on the virtual CPU mesh (tests) and a
 real ICI slice.
@@ -38,15 +54,6 @@ from tensornetwork_tpu.blocksparse import jax_engine as _engine
 from tensornetwork_tpu.blocksparse import linalg as _linalg
 
 
-def _pad_groups(arrs, G_pad, fill):
-    """Pad the leading (sector) axis of each index array to ``G_pad``."""
-    out = []
-    for a, f in zip(arrs, fill):
-        pad = np.full((G_pad - a.shape[0],) + a.shape[1:], f, a.dtype)
-        out.append(np.concatenate([a, pad], axis=0))
-    return out
-
-
 def tensordot_sharded(
     t1: BlockSparseTensor,
     t2: BlockSparseTensor,
@@ -55,13 +62,18 @@ def tensordot_sharded(
     axis_name: str = "ep",
     precision: str = "highest",
 ) -> BlockSparseTensor:
-    """Symmetric tensordot with charge sectors sharded over ``axis_name``
-    and the output reassembled by ``psum``.
+    """Symmetric tensordot with charge sectors sharded over ``axis_name``.
 
-    Uses the single-device engine's host-side plan (eager transposes,
-    sector maps, shape buckets) but executes each bucket's batched GEMM
-    as an SPMD program: index maps ride as sharded inputs, so every
-    device runs the same code on its sector shard."""
+    Host side: the sector plan (eager transposes, block maps) is built
+    as in the single-device engine; sectors are shape-bucketed, assigned
+    round-robin to devices, and each operand block is PACKED into a
+    ``(ndev, G_loc, R, K)`` array sharded on the device axis — every
+    device holds exactly its sectors' data, nothing is replicated.
+    Device side: one batched GEMM per bucket (local by construction
+    under the SPMD partitioner) and one scatter of the disjoint sector
+    outputs into the replicated result, which lowers to a single
+    ``all_gather`` of ~nnz_out values — the only collective per call.
+    """
     if isinstance(axes, int):
         axes1 = list(range(t1.ndim - axes, t1.ndim))
         axes2 = list(range(axes))
@@ -69,74 +81,67 @@ def tensordot_sharded(
         axes1, axes2 = [list(a) for a in axes]
     ndev = mesh.shape[axis_name]
     plan = _engine._build_plan(t1, t2, axes1, axes2)
-    if plan["scalar"]:
-        raise NotImplementedError(
-            "tensordot_sharded supports tensor-valued outputs; use "
-            "tensordot_device for full (scalar) contractions")
-    nnz1, nnz2 = plan["nnz1"], plan["nnz2"]
-    nnz_out = plan["out"]["nnz"]
+    scalar = plan["scalar"]
+    nnz_out = 0 if scalar else plan["out"]["nnz"]
 
-    # group sectors by padded GEMM shape (same bucketing as the
-    # single-device engine, but always on the uniform elementwise-gather
-    # path: SPMD needs identical code on every device)
+    d1 = np.asarray(t1.data)
+    d2 = np.asarray(t2.data)
+    if plan["perm1"] is not None:
+        d1 = d1[plan["perm1"]]
+    if plan["perm2"] is not None:
+        d2 = d2[plan["perm2"]]
+
+    # bucket sectors by rounded GEMM shape; round-robin devices within a
+    # bucket (sectors sorted by cost for balance)
     groups = {}
     for (m1, m2, mo, s1, s2) in plan["sectors"]:
         key = (_engine._round_dim(s1[0]), _engine._round_dim(s1[1]),
                _engine._round_dim(s2[1]))
         groups.setdefault(key, []).append((m1, m2, mo, s1, s2))
 
-    buckets = []
+    shard = NamedSharding(mesh, P(axis_name))
+    acc_dtype = np.result_type(t1.dtype, t2.dtype)
+    bucket_args = []
     for (R, K, C), secs in groups.items():
-        G = len(secs)
-        G_pad = ((G + ndev - 1) // ndev) * ndev
-        M1 = np.full((G, R, K), nnz1, dtype=np.int32)
-        M2 = np.full((G, K, C), nnz2, dtype=np.int32)
-        MO = np.full((G, R, C), nnz_out, dtype=np.int32)
-        for g, (m1, m2, mo, s1, s2) in enumerate(secs):
-            M1[g, : s1[0], : s1[1]] = m1
-            M2[g, : s2[0], : s2[1]] = m2
-            MO[g, : s1[0], : s2[1]] = mo
-        M1, M2, MO = _pad_groups([M1, M2, MO], G_pad,
-                                 [nnz1, nnz2, nnz_out])
-        buckets.append((jnp.asarray(M1), jnp.asarray(M2), jnp.asarray(MO)))
+        secs = sorted(secs, key=lambda s: -(s[3][0] * s[3][1] * s[4][1]))
+        per_dev = [secs[d::ndev] for d in range(ndev)]
+        G_loc = max(len(p) for p in per_dev)
+        B1 = np.zeros((ndev, G_loc, R, K), acc_dtype)
+        B2 = np.zeros((ndev, G_loc, K, C), acc_dtype)
+        IDX = np.full((ndev, G_loc, R, C), nnz_out, dtype=np.int32)
+        for d, ss in enumerate(per_dev):
+            for g, (m1, m2, mo, s1, s2) in enumerate(ss):
+                B1[d, g, : s1[0], : s1[1]] = d1[m1]
+                B2[d, g, : s2[0], : s2[1]] = d2[m2]
+                if mo is not None:
+                    IDX[d, g, : s1[0], : s2[1]] = mo
+        bucket_args.append((jax.device_put(jnp.asarray(B1), shard),
+                            jax.device_put(jnp.asarray(B2), shard),
+                            None if scalar else jax.device_put(
+                                jnp.asarray(IDX), shard)))
 
-    d1 = jnp.asarray(t1.data)
-    d2 = jnp.asarray(t2.data)
-    if plan["perm1"] is not None:
-        d1 = d1[jnp.asarray(plan["perm1"])]
-    if plan["perm2"] is not None:
-        d2 = d2[jnp.asarray(plan["perm2"])]
+    @jax.jit
+    def run(*flat):
+        with jax.default_matmul_precision(precision):
+            if scalar:
+                total = jnp.zeros((), acc_dtype)
+                for i in range(0, len(flat), 2):
+                    total = total + jnp.sum(jnp.matmul(flat[i],
+                                                       flat[i + 1]))
+                return total
+            out = jnp.zeros(nnz_out + 1, acc_dtype)
+            for i in range(0, len(flat), 3):
+                res = jnp.matmul(flat[i], flat[i + 1])
+                # disjoint sector regions: plain scatter, no reduction —
+                # XLA inserts one all_gather of the sharded results
+                out = out.at[flat[i + 2]].set(res)
+            return out[:-1]
 
-    spec_g = P(axis_name)          # sector axis sharded
-    spec_r = P()                   # data vectors replicated
-
-    def body(d1, d2, *bucket_maps):
-        # dummy tail: padded index positions (== nnz) read exact zeros /
-        # write into a discarded slot
-        d1x = jnp.concatenate([d1, jnp.zeros(1, d1.dtype)])
-        d2x = jnp.concatenate([d2, jnp.zeros(1, d2.dtype)])
-        acc_dtype = jnp.result_type(d1.dtype, d2.dtype)
-        out = jnp.zeros(nnz_out + 1, acc_dtype)
-        for (M1, M2, MO) in zip(bucket_maps[0::3], bucket_maps[1::3],
-                                bucket_maps[2::3]):
-            b1 = d1x[M1].astype(acc_dtype)
-            b2 = d2x[M2].astype(acc_dtype)
-            with jax.default_matmul_precision(precision):
-                res = jnp.matmul(b1, b2)
-            out = out.at[MO].set(res)
-        # sectors write disjoint regions: the sum over devices IS the
-        # reassembled output (SURVEY §2.10.2: psum-reduced sector
-        # partials)
-        return jax.lax.psum(out, axis_name)
-
-    flat_maps = [m for b in buckets for m in b]
-    fn = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(spec_r, spec_r) + tuple(
-            spec_g for _ in flat_maps),
-        out_specs=spec_r)
-    result = jax.jit(fn)(d1, d2, *flat_maps)[:-1]
-
+    flat = [a for b in bucket_args for a in b if a is not None]
+    with mesh:
+        result = run(*flat)
+    if scalar:
+        return result
     o = plan["out"]
     out = BlockSparseTensor.__new__(BlockSparseTensor)
     out.data = result
@@ -153,15 +158,24 @@ def truncated_svd_distributed(
     max_truncation_error: Optional[float] = None,
     relative: bool = False,
     axis_name: str = "ep",
+    output: str = "bst",
 ):
     """Global cross-sector truncated SVD with the per-sector SVDs sharded
-    over the mesh and the global ranking computed from ``all_gather``-ed
-    spectra (SURVEY §5: "all_gather for spectra needed by global
-    truncation" — the distributed form of the reference's padded-stack
-    sort, ``backends/symmetric/decompositions.py:70-120``).
+    over the mesh and the global ranking computed ON DEVICE from the
+    gathered spectra (SURVEY §5: "all_gather for spectra needed by
+    global truncation" — the distributed form of the reference's
+    padded-stack sort, ``backends/symmetric/decompositions.py:70-120``).
 
-    Returns ``(U, S, V, s_rest)`` with semantics identical to
-    :func:`tensornetwork_tpu.blocksparse.linalg.truncated_svd`."""
+    ``output="masked"``: returns device-resident
+    ``(u, s_masked, vh, kept_mask)`` stacks — factors sharded over
+    ``axis_name``, discarded singular values zeroed, ZERO host syncs;
+    the static-shape form for in-jit consumers.
+    ``output="bst"``: additionally assembles ragged BlockSparseTensor
+    factors ``(U, S, V, s_rest)`` with semantics identical to
+    :func:`tensornetwork_tpu.blocksparse.linalg.truncated_svd`; the
+    ragged (data-dependent) bond requires one host transfer of the kept
+    blocks — inherent to the dynamic-shape API.
+    """
     ndev = mesh.shape[axis_name]
     p, common, maps, shapes, blocks = _linalg._get_blocks(matrix)
     G = len(blocks)
@@ -178,57 +192,67 @@ def truncated_svd_distributed(
         nvals[g] = min(b.shape)
     kmax = min(Rm, Cm)
     valid = (np.arange(kmax)[None, :] < nvals[:, None])   # (G_pad, kmax)
+    shard = NamedSharding(mesh, P(axis_name))
+    k_cap = int(valid.sum()) if max_singular_values is None else \
+        min(int(max_singular_values), int(valid.sum()))
 
-    def body(blk, valid_loc):
-        # local batched SVD of this device's sector shard
+    @jax.jit
+    def run(blk, valid_d):
+        # batched SVD sharded over the sector axis (XLA keeps it local)
         u, s, vh = jnp.linalg.svd(blk, full_matrices=False)
-        s = jnp.where(valid_loc, s, 0.0)
-        # the (small) spectra travel; the factors stay put
-        s_all = jax.lax.all_gather(s, axis_name, tiled=True)
-        return u, s, vh, s_all
+        s = jnp.where(valid_d, s, 0.0)
+        # global cross-sector ranking ON DEVICE: the reference's
+        # sector-major stable descending sort.  Padded slots rank at -1
+        # so they can never displace a genuine zero singular value.
+        flat_rank = jnp.where(valid_d, s, -1.0).reshape(-1)
+        order = jnp.argsort(-flat_rank, stable=True)
+        sorted_s = jnp.maximum(flat_rank[order], 0.0)
+        keep = jnp.asarray(k_cap, jnp.int32)
+        if max_truncation_error is not None:
+            err = jnp.asarray(max_truncation_error, sorted_s.dtype)
+            if relative:
+                err = err * sorted_s[0]
+            # padded entries contribute 0 to the tail and are counted in
+            # `drop`, which cancels exactly against their presence in
+            # flat length — keep equals the unpadded computation
+            tail = jnp.sqrt(jnp.cumsum(sorted_s[::-1] ** 2))
+            drop = jnp.searchsorted(tail, err, side="right")
+            keep = jnp.minimum(keep,
+                               jnp.asarray(flat_rank.shape[0], jnp.int32)
+                               - drop.astype(jnp.int32))
+        rank_of = jnp.zeros(flat_rank.shape[0], jnp.int32).at[order].set(
+            jnp.arange(flat_rank.shape[0], dtype=jnp.int32))
+        kept_flat = rank_of < keep
+        kept = kept_flat.reshape(s.shape) & valid_d
+        s_masked = jnp.where(kept, s, 0.0)
+        return u, s_masked, vh, kept, sorted_s, keep
 
-    fn = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name)),
-        out_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
-        check_vma=False)
-    u_all, s_all, vh_all, spectrum = jax.jit(fn)(
-        jnp.asarray(stack), jnp.asarray(valid))
+    with mesh:
+        u_all, s_all, vh_all, kept, sorted_s, keep = run(
+            jax.device_put(jnp.asarray(stack), shard),
+            jax.device_put(jnp.asarray(valid), shard))
+    if output == "masked":
+        return u_all, s_all, vh_all, kept
 
-    # identical global ranking on the gathered spectrum (here on host for
-    # the numpy reassembly; on-device consumers rank inside the same jit)
-    spectrum = np.asarray(jax.device_get(spectrum))[:G]   # (G, kmax)
-    flat = spectrum[valid[:G]]
-    # reproduce the reference's concatenation order: sector-major
-    order = np.argsort(flat, kind="stable")[::-1]
-    sorted_s = flat[order]
-    keep = sorted_s.shape[0]
-    if max_truncation_error is not None:
-        err = float(max_truncation_error)
-        if relative and sorted_s.size:
-            err *= float(sorted_s[0])
-        tail = np.sqrt(np.cumsum(sorted_s[::-1] ** 2))
-        keep -= int(np.searchsorted(tail, err, side="right"))
-    if max_singular_values is not None:
-        keep = min(keep, int(max_singular_values))
-    keep = max(keep, 0)
-    kept_mask = np.zeros(flat.shape[0], dtype=bool)
-    kept_mask[order[:keep]] = True
-    s_rest = sorted_s[keep:]
-
-    u_all = np.asarray(jax.device_get(u_all))[:G]
-    vh_all = np.asarray(jax.device_get(vh_all))[:G]
-    offsets = np.concatenate([[0], np.cumsum(nvals[:G])])
+    # ragged BST assembly (one host transfer of the kept blocks)
+    kept_h = np.asarray(jax.device_get(kept))[:G]
+    spectrum = np.asarray(jax.device_get(s_all))[:G]
+    keep_n = int(jax.device_get(keep))
+    # discarded VALID values: sorted_s positions [keep, valid_total)
+    # (padded slots rank strictly after every valid entry)
+    s_rest = np.asarray(jax.device_get(sorted_s))[keep_n:int(valid.sum())]
+    u_h = np.asarray(jax.device_get(u_all))[:G]
+    vh_h = np.asarray(jax.device_get(vh_all))[:G]
     new_us, new_ss, new_vs, ks = [], [], [], []
     for g in range(G):
-        m = kept_mask[offsets[g]:offsets[g + 1]]
+        nv = int(nvals[g])
+        m = kept_h[g][:nv]
         k = int(np.sum(m))
         ks.append(k)
-        nv = int(nvals[g])
         r, c = blocks[g].shape
-        new_us.append(u_all[g][:r, :nv][:, m])
+        new_us.append(u_h[g][:r, :nv][:, m])
         new_ss.append(spectrum[g][:nv][m])
-        new_vs.append(vh_all[g][:nv, :c][m, :])
+        new_vs.append(vh_h[g][:nv, :c][m, :])
     bond_charges, _ = _linalg._bond_index(common, ks, True)
     from tensornetwork_tpu.blocksparse.tensor import ChargeArray
     S = ChargeArray(np.concatenate(new_ss) if new_ss else np.zeros(0),

@@ -127,7 +127,7 @@ def _round_dim(x: int) -> int:
     return p
 
 
-def _build_buckets(plan):
+def _build_buckets(plan, windows: bool = True, pad_groups_to: int = 1):
     """Group sectors by padded GEMM shape so each bucket executes as ONE
     batched matmul on the MXU (SURVEY §7.7: shape-bucketed ragged sector
     matmuls) instead of one underfilled GEMM per charge sector.
@@ -139,6 +139,11 @@ def _build_buckets(plan):
     memory system executes at HBM bandwidth.  Columns past a sector's
     true width (bucket padding) would read the *next* run's data; a
     static per-sector column mask zeroes them before the GEMM.
+
+    ``windows=False`` forces the uniform elementwise-gather path and
+    ``pad_groups_to`` pads each bucket's sector count to a multiple —
+    both required by the EP (sector-sharded) executor, whose per-device
+    dynamic slicing needs identical code and divisible group counts.
     """
     groups = {}
     for idx, (m1, m2, mo, s1, s2) in enumerate(plan["sectors"]):
@@ -146,12 +151,14 @@ def _build_buckets(plan):
         groups.setdefault(key, []).append((m1, m2, mo, s1, s2))
     buckets = []
     for (R, K, C), secs in groups.items():
-        G = len(secs)
+        G0 = len(secs)
+        G = ((G0 + pad_groups_to - 1) // pad_groups_to) * pad_groups_to
+        secs = secs + [(None, None, None, (0, 0), (0, 0))] * (G - G0)
         # windowed (slice) fetch pays off only for wide runs; narrow runs
         # (window < _MIN_RUN) fall back to one padded elementwise gather
-        win1 = K >= _MIN_RUN
-        win2 = C >= _MIN_RUN
-        win_o = C >= _MIN_RUN
+        win1 = windows and K >= _MIN_RUN
+        win2 = windows and C >= _MIN_RUN
+        win_o = windows and C >= _MIN_RUN
         S1 = np.full((G, R), plan["nnz1"], dtype=np.int32)
         S2 = np.full((G, K), plan["nnz2"], dtype=np.int32)
         M1 = np.full((G, R, K), plan["nnz1"], dtype=np.int32)
@@ -162,6 +169,8 @@ def _build_buckets(plan):
         mask2 = np.zeros((G, 1, C), dtype=np.float32)
         scatters = []
         for g, (m1, m2, mo, s1, s2) in enumerate(secs):
+            if m1 is None:      # group padding (EP divisibility)
+                continue
             S1[g, : s1[0]] = m1[:, 0]
             S2[g, : s2[0]] = m2[:, 0]
             M1[g, : s1[0], : s1[1]] = m1
@@ -182,9 +191,11 @@ def _build_buckets(plan):
     return buckets
 
 
-def _get_plan(t1, t2, axes1, axes2, precision="highest"):
+def _get_plan(t1, t2, axes1, axes2, precision="highest", ep=None):
+    """``ep=(ndev, axis_name)`` builds the sector-sharded (EP) executor:
+    the caller must run it inside a ``shard_map`` over ``axis_name``."""
     key = (_structure_key(t1), _structure_key(t2), tuple(axes1),
-           tuple(axes2), precision)
+           tuple(axes2), precision, ep)
     plan = _PLAN_CACHE.get(key)
     if plan is not None:
         _PLAN_CACHE.move_to_end(key)
@@ -193,6 +204,8 @@ def _get_plan(t1, t2, axes1, axes2, precision="highest"):
         def dev(x):
             return None if x is None else jnp.asarray(x)
 
+        bucket_kw = ({} if ep is None
+                     else dict(windows=False, pad_groups_to=ep[0]))
         plan["jx"] = [
             dict(R=b["R"], K=b["K"], C=b["C"],
                  win1=b["win1"], win2=b["win2"], win_o=b["win_o"],
@@ -202,12 +215,12 @@ def _get_plan(t1, t2, axes1, axes2, precision="highest"):
                  mask2=jnp.asarray(b["mask2"]),
                  scatters=[(g, r, c, jnp.asarray(so))
                            for (g, r, c, so) in b["scatters"]])
-            for b in _build_buckets(plan)]
+            for b in _build_buckets(plan, **bucket_kw)]
         plan["jp1"] = (None if plan["perm1"] is None
                        else jnp.asarray(plan["perm1"]))
         plan["jp2"] = (None if plan["perm2"] is None
                        else jnp.asarray(plan["perm2"]))
-        plan["run"] = _make_executor(plan, precision)
+        plan["run"] = _make_executor(plan, precision, ep=ep)
         _PLAN_CACHE[key] = plan
         while len(_PLAN_CACHE) > _PLAN_CACHE_CAPACITY:
             _PLAN_CACHE.popitem(last=False)
@@ -232,7 +245,17 @@ def _window_scatter(out, starts, updates):
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
 
-def _make_executor(plan, precision: str = "highest"):
+def _make_executor(plan, precision: str = "highest", ep=None):
+    """Build the contraction executor.
+
+    ``ep=None``: the single-device program (windowed fetch, one jit).
+    ``ep=(ndev, axis_name)``: the sector-sharded SPMD body (EP-analog,
+    SURVEY §2.10.2) — each device gathers and multiplies only its
+    ``G/ndev`` slice of every bucket's sector stack (selected by
+    ``lax.axis_index``) and the disjoint sector outputs are reassembled
+    with ONE ``psum`` per contraction.  Must be called inside a
+    ``shard_map`` over ``axis_name`` with replicated data operands; not
+    jitted here (the enclosing program is)."""
     max_k = max((b["K"] for b in plan["jx"]), default=1)
     max_c = max((b["C"] for b in plan["jx"]), default=1)
 
@@ -247,6 +270,42 @@ def _make_executor(plan, precision: str = "highest"):
             blk = _slice_gather(d2x, b["S2"], b["C"])
             return blk * b["mask2"].astype(acc_dtype)
         return d2x[b["M2"]]
+
+    if ep is not None:
+        ndev, axis_name = ep
+
+        def run_ep(d1, d2):
+            with jax.default_matmul_precision(precision):
+                d1p = d1 if plan["jp1"] is None else d1[plan["jp1"]]
+                d2p = d2 if plan["jp2"] is None else d2[plan["jp2"]]
+                d1x = jnp.concatenate([d1p, jnp.zeros(1, d1.dtype)])
+                d2x = jnp.concatenate([d2p, jnp.zeros(1, d2.dtype)])
+                acc_dtype = jnp.result_type(d1.dtype, d2.dtype)
+                idx = jax.lax.axis_index(axis_name)
+
+                def loc(M):
+                    g_loc = M.shape[0] // ndev
+                    return jax.lax.dynamic_slice_in_dim(
+                        M, idx * g_loc, g_loc, axis=0)
+
+                if plan["scalar"]:
+                    total = jnp.zeros((), acc_dtype)
+                    for b in plan["jx"]:
+                        b1 = d1x[loc(b["M1"])]
+                        b2 = d2x[loc(b["M2"])]
+                        total = total + jnp.sum(jnp.matmul(b1, b2))
+                    return jax.lax.psum(total, axis_name)
+                out = jnp.zeros(plan["out"]["nnz"] + 1, acc_dtype)
+                for b in plan["jx"]:
+                    b1 = d1x[loc(b["M1"])]
+                    b2 = d2x[loc(b["M2"])]
+                    res = jnp.matmul(b1, b2)
+                    out = out.at[loc(b["MO"])].set(res)
+                # sectors touch disjoint regions: the sum over devices IS
+                # the reassembly — one psum per contraction
+                return jax.lax.psum(out, axis_name)[:-1]
+
+        return run_ep
 
     @jax.jit
     def run(d1, d2):

@@ -56,17 +56,28 @@ def _boundary_right_skel(last_bond, dtype) -> BlockSparseTensor:
 
 
 class _SiteProgram:
-    """Compiled per-(site, direction) batched step."""
+    """Compiled per-(site, direction) batched step.
+
+    ``ep_mesh``: a mesh whose ``ep_axis`` shards the charge *sectors* of
+    every contraction in the step (EP-analog, SURVEY §2.10.2, VERDICT r2
+    item 2): the whole step body runs under one ``shard_map``, each
+    contraction executes its per-device sector slice and reassembles the
+    (disjoint-region) output with one ``psum``; the small per-bond gauge
+    solves run replicated (they are latency-, not FLOP-bound)."""
 
     def __init__(self, A_skel, A_next_skel, W_skel, L_skel, R_skel,
                  direction: str, num_krylov_vecs: int, ritz_method: str,
-                 reorth: bool = True):
+                 reorth: bool = True, ep_mesh=None, ep_axis: str = "ep"):
         self.direction = direction
         self.m = num_krylov_vecs
+        ep = (None if ep_mesh is None
+              else (ep_mesh.shape[ep_axis], ep_axis))
         # matvec chain plans (single instance; vmapped by the jit below)
-        self.mv1, t1 = contraction_plan(L_skel, A_skel, [[0], [0]])
-        self.mv2, t2 = contraction_plan(t1, W_skel, [[0, 2], [0, 3]])
-        self.mv3, y_skel = contraction_plan(t2, R_skel, [[1, 2], [0, 1]])
+        self.mv1, t1 = contraction_plan(L_skel, A_skel, [[0], [0]], ep=ep)
+        self.mv2, t2 = contraction_plan(t1, W_skel, [[0, 2], [0, 3]],
+                                        ep=ep)
+        self.mv3, y_skel = contraction_plan(t2, R_skel, [[1, 2], [0, 1]],
+                                            ep=ep)
         if y_skel.data.shape != A_skel.data.shape:
             raise AssertionError("matvec output layout mismatch")
         self.shift = ShiftPlan(A_skel, direction)
@@ -74,27 +85,30 @@ class _SiteProgram:
         if direction == "right":
             # absorb P into the next site from the left: P·A_next
             self.absorb, abs_out = contraction_plan(
-                bond_skel, A_next_skel, [[1], [0]])
+                bond_skel, A_next_skel, [[1], [0]], ep=ep)
             # grow the left environment with the isometric Q
-            self.g1, e1 = contraction_plan(L_skel, A_skel, [[0], [0]])
-            self.g2, e2 = contraction_plan(e1, W_skel, [[0, 2], [0, 3]])
+            self.g1, e1 = contraction_plan(L_skel, A_skel, [[0], [0]],
+                                           ep=ep)
+            self.g2, e2 = contraction_plan(e1, W_skel, [[0, 2], [0, 3]],
+                                           ep=ep)
             # conj flips all flows (metadata-only for real data; layout
             # is invariant under a global flow flip)
             self.g3, self.env_out_skel = contraction_plan(
-                e2, A_skel.conj(), [[0, 3], [0, 1]])
+                e2, A_skel.conj(), [[0, 3], [0, 1]], ep=ep)
         else:
             # absorb P into the previous site from the right: A_prev·P
             self.absorb, abs_out = contraction_plan(
-                A_next_skel, bond_skel, [[2], [0]])
-            self.g1, e1 = contraction_plan(A_skel, R_skel, [[2], [0]])
-            self.g2, e2 = contraction_plan(e1, W_skel, [[1, 2], [3, 1]])
+                A_next_skel, bond_skel, [[2], [0]], ep=ep)
+            self.g1, e1 = contraction_plan(A_skel, R_skel, [[2], [0]],
+                                           ep=ep)
+            self.g2, e2 = contraction_plan(e1, W_skel, [[1, 2], [3, 1]],
+                                           ep=ep)
             self.g3, self.env_out_skel = contraction_plan(
-                e2, A_skel.conj(), [[1, 3], [2, 1]])
+                e2, A_skel.conj(), [[1, 3], [2, 1]], ep=ep)
         if abs_out.data.shape != A_next_skel.data.shape:
             raise AssertionError("absorb output layout mismatch")
         ritz = ritz_method
 
-        @jax.jit
         def step(dA, dA_next, dW, dL, dR):
             def solve(da, dw, dl, dr):
                 mv = lambda x: self.mv3(self.mv2(self.mv1(dl, x), dw), dr)
@@ -121,7 +135,15 @@ class _SiteProgram:
                                       else dR)
             return es, qd, dA_next2, denv_new
 
-        self._step = step
+        if ep_mesh is None:
+            self._step = jax.jit(step)
+        else:
+            from jax.sharding import PartitionSpec as P
+            self._step = jax.jit(jax.shard_map(
+                step, mesh=ep_mesh,
+                in_specs=(P(), P(), P(), P(), P()),
+                out_specs=(P(), P(), P(), P()),
+                check_vma=False))
 
     def __call__(self, dA, dA_next, dW, dL, dR):
         return self._step(dA, dA_next, dW, dL, dR)
@@ -150,9 +172,16 @@ class BatchedSymmetricDMRG:
                  num_krylov_vecs: int = 10,
                  ritz_method: str = "power",
                  reorth: bool = True,
-                 mesh=None, batch_axis: str = "data"):
+                 mesh=None, batch_axis: str = "data",
+                 ep_mesh=None, ep_axis: str = "ep"):
         if len(skeleton) != len(mpo):
             raise ValueError("MPS and MPO must have equal length")
+        if mesh is not None and ep_mesh is not None:
+            raise ValueError(
+                "pass either mesh= (batch/DP sharding) or ep_mesh= "
+                "(sector/EP sharding), not both")
+        self.ep_mesh = ep_mesh
+        self.ep_axis = ep_axis
         self.skeleton = list(skeleton)
         self.data = list(data)
         self.mpo = list(mpo)
@@ -214,18 +243,20 @@ class BatchedSymmetricDMRG:
         if site not in self._canon_programs:
             A_skel = self.skeleton[site]
             A_prev_skel = self.skeleton[site - 1]
+            ep = (None if self.ep_mesh is None
+                  else (self.ep_mesh.shape[self.ep_axis], self.ep_axis))
             shift = ShiftPlan(A_skel, "left")
             absorb, abs_out = contraction_plan(
-                A_prev_skel, shift.bond_skel, [[2], [0]])
+                A_prev_skel, shift.bond_skel, [[2], [0]], ep=ep)
             if abs_out.data.shape != A_prev_skel.data.shape:
                 raise AssertionError("canon absorb layout mismatch")
             g1, e1 = contraction_plan(A_skel, self._Rskel[site + 1],
-                                      [[2], [0]])
-            g2, e2 = contraction_plan(e1, self.mpo[site], [[1, 2], [3, 1]])
+                                      [[2], [0]], ep=ep)
+            g2, e2 = contraction_plan(e1, self.mpo[site], [[1, 2], [3, 1]],
+                                      ep=ep)
             g3, env_out = contraction_plan(e2, A_skel.conj(),
-                                           [[1, 3], [2, 1]])
+                                           [[1, 3], [2, 1]], ep=ep)
 
-            @jax.jit
             def run(dA, dA_prev, dW, dR):
                 qd, pd = shift(dA)
                 dA_prev2 = jax.vmap(absorb)(dA_prev, pd)
@@ -238,7 +269,16 @@ class BatchedSymmetricDMRG:
                 dR_new = jax.vmap(grow)(qd, dW, dR)
                 return qd, dA_prev2, dR_new
 
-            self._canon_programs[site] = run
+            if self.ep_mesh is None:
+                run_c = jax.jit(run)
+            else:
+                from jax.sharding import PartitionSpec as P
+                run_c = jax.jit(jax.shard_map(
+                    run, mesh=self.ep_mesh,
+                    in_specs=(P(), P(), P(), P()),
+                    out_specs=(P(), P(), P()),
+                    check_vma=False))
+            self._canon_programs[site] = run_c
         return self._canon_programs[site]
 
     def _structure_sig(self, *tensors):
@@ -257,7 +297,8 @@ class BatchedSymmetricDMRG:
             self._programs[key] = _SiteProgram(
                 self.skeleton[site], self.skeleton[nxt], self.mpo[site],
                 self._Lskel[site], self._Rskel[site + 1], direction,
-                self.m, self.ritz, self.reorth)
+                self.m, self.ritz, self.reorth,
+                ep_mesh=self.ep_mesh, ep_axis=self.ep_axis)
         return self._programs[key]
 
     def precompile(self, max_workers: int = 8, verbose: int = 0) -> float:
@@ -269,9 +310,9 @@ class BatchedSymmetricDMRG:
         requests).  Returns the wall time spent."""
         import concurrent.futures as cf
         import time as _time
-        if self._batch_sharding is not None:
+        if self._batch_sharding is not None or self.ep_mesh is not None:
             # AOT-compiled executables pin input shardings; the sharded
-            # path keeps the lazy jit cache
+            # paths keep the lazy jit cache
             return 0.0
         t0 = _time.perf_counter()
         dtype = self.data[0].dtype
@@ -376,34 +417,43 @@ class _BondProgram:
 
     def __init__(self, A_skel, B_skel, W1_skel, W2_skel, L_skel, R_skel,
                  direction: str, num_krylov_vecs: int, ritz_method: str,
-                 reorth: bool = True):
+                 reorth: bool = True, ep_mesh=None, ep_axis: str = "ep"):
         from tensornetwork_tpu.blocksparse.batched import TwoSiteSplitPlan
         self.direction = direction
         self.m = num_krylov_vecs
+        ep = (None if ep_mesh is None
+              else (ep_mesh.shape[ep_axis], ep_axis))
         self.theta, theta_skel = contraction_plan(A_skel, B_skel,
-                                                  [[2], [0]])
+                                                  [[2], [0]], ep=ep)
         # two-site effective-H matvec chain on theta (l, s, t, r)
-        self.mv1, t1 = contraction_plan(L_skel, theta_skel, [[0], [0]])
-        self.mv2, t2 = contraction_plan(t1, W1_skel, [[0, 2], [0, 3]])
-        self.mv3, t3 = contraction_plan(t2, W2_skel, [[3, 1], [0, 3]])
-        self.mv4, y_skel = contraction_plan(t3, R_skel, [[1, 3], [0, 1]])
+        self.mv1, t1 = contraction_plan(L_skel, theta_skel, [[0], [0]],
+                                        ep=ep)
+        self.mv2, t2 = contraction_plan(t1, W1_skel, [[0, 2], [0, 3]],
+                                        ep=ep)
+        self.mv3, t3 = contraction_plan(t2, W2_skel, [[3, 1], [0, 3]],
+                                        ep=ep)
+        self.mv4, y_skel = contraction_plan(t3, R_skel, [[1, 3], [0, 1]],
+                                            ep=ep)
         if y_skel.data.shape != theta_skel.data.shape:
             raise AssertionError("2s matvec output layout mismatch")
         self.split = TwoSiteSplitPlan(theta_skel, A_skel, B_skel)
         if direction == "right":
-            self.g1, e1 = contraction_plan(L_skel, A_skel, [[0], [0]])
-            self.g2, e2 = contraction_plan(e1, W1_skel, [[0, 2], [0, 3]])
+            self.g1, e1 = contraction_plan(L_skel, A_skel, [[0], [0]],
+                                           ep=ep)
+            self.g2, e2 = contraction_plan(e1, W1_skel, [[0, 2], [0, 3]],
+                                           ep=ep)
             self.g3, _ = contraction_plan(e2, A_skel.conj(),
-                                          [[0, 3], [0, 1]])
+                                          [[0, 3], [0, 1]], ep=ep)
         else:
-            self.g1, e1 = contraction_plan(B_skel, R_skel, [[2], [0]])
-            self.g2, e2 = contraction_plan(e1, W2_skel, [[1, 2], [3, 1]])
+            self.g1, e1 = contraction_plan(B_skel, R_skel, [[2], [0]],
+                                           ep=ep)
+            self.g2, e2 = contraction_plan(e1, W2_skel, [[1, 2], [3, 1]],
+                                           ep=ep)
             self.g3, _ = contraction_plan(e2, B_skel.conj(),
-                                          [[1, 3], [2, 1]])
+                                          [[1, 3], [2, 1]], ep=ep)
         ritz = ritz_method
         absorb = "right" if direction == "right" else "left"
 
-        @jax.jit
         def step(dA, dB, dW1, dW2, dL, dR):
             def solve(da, db, dw1, dw2, dl, dr):
                 th0 = self.theta(da, db)
@@ -415,7 +465,9 @@ class _BondProgram:
                 return evals[0], evecs[0]
 
             es, ths = jax.vmap(solve)(dA, dB, dW1, dW2, dL, dR)
-            ld, rd, terr = self.split(ths, absorb)
+            # EP: the ragged per-sector SVD truncation is itself
+            # distributed (lax.switch branch per device + psum)
+            ld, rd, terr = self.split(ths, absorb, ep=ep)
 
             def grow(dq, dw, denv):
                 if direction == "right":
@@ -428,7 +480,14 @@ class _BondProgram:
                 denv_new = jax.vmap(grow)(rd, dW2, dR)
             return es, ld, rd, terr, denv_new
 
-        self._step = step
+        if ep_mesh is None:
+            self._step = jax.jit(step)
+        else:
+            from jax.sharding import PartitionSpec as P
+            self._step = jax.jit(jax.shard_map(
+                step, mesh=ep_mesh,
+                in_specs=(P(),) * 6, out_specs=(P(),) * 5,
+                check_vma=False))
 
     def __call__(self, dA, dB, dW1, dW2, dL, dR):
         return self._step(dA, dB, dW1, dW2, dL, dR)
@@ -445,7 +504,8 @@ def _install_two_site(cls):
                 self.skeleton[bond], self.skeleton[bond + 1],
                 self.mpo[bond], self.mpo[bond + 1],
                 self._Lskel[bond], self._Rskel[bond + 2], direction,
-                self.m, self.ritz, self.reorth)
+                self.m, self.ritz, self.reorth,
+                ep_mesh=self.ep_mesh, ep_axis=self.ep_axis)
         return self._programs[key]
 
     def run_two_site(self, num_sweeps: int = 4, tol: float = 1e-10,

@@ -102,3 +102,77 @@ def test_truncated_svd_distributed_dense_oracle(rng, mesh):
     err = np.linalg.norm(rec.todense() - dense)
     err_dense = np.linalg.norm(s_dense[k:])
     np.testing.assert_allclose(err, err_dense, rtol=1e-8)
+
+
+def test_truncated_svd_distributed_masked_output(rng, mesh):
+    # output="masked": device-resident masked factor stacks, zero host
+    # syncs; reconstruction through the mask matches the ragged path
+    c1, c2 = _rand_u1(rng, 8), _rand_u1(rng, 9)
+    a = randn([Index(c1, False), Index(c2, True)], seed=7)
+    u, s, vh, kept = truncated_svd_distributed(
+        a, mesh, max_singular_values=5, output="masked")
+    # masked reconstruction == sum over kept singular triplets
+    rec = np.einsum("gij,gj,gjk->gik", np.asarray(u), np.asarray(s),
+                    np.asarray(vh))
+    U, S, V, s_rest = truncated_svd_distributed(
+        a, mesh, max_singular_values=5)
+    ref = (U.todense() * np.asarray(S.todense())[None, :]) @ V.todense()
+    # project the per-sector reconstruction back to the dense matrix
+    from tensornetwork_tpu.blocksparse.linalg import _get_blocks
+    p, common, maps, shapes, blocks = _get_blocks(a)
+    dense = np.zeros(a.shape, a.dtype)
+    # scatter each sector's reconstruction into dense coordinates
+    from tensornetwork_tpu.blocksparse.tensor import (
+        _col_indices_per_sector)
+    _, rows, cols = _col_indices_per_sector(a._charges, a._flows, p)
+    for g in range(len(blocks)):
+        r, c = shapes[g]
+        dense[np.ix_(rows[g], cols[g])] = rec[g][:r, :c]
+    np.testing.assert_allclose(dense, ref, atol=1e-5)
+    assert int(np.asarray(kept).sum()) == 5
+
+
+def test_ep_symmetric_dmrg_one_site_matches_single_device(mesh):
+    # VERDICT r2 item 2 "Done" criterion: a distributed symmetric sweep
+    # on the virtual mesh matches the single-device BatchedSymmetricDMRG
+    # energies to f32 tolerance
+    from tensornetwork_tpu.blocksparse.batched import (
+        uniform_skeleton_mps, random_data_batch)
+    from tensornetwork_tpu.models.symmetric_dmrg import u1_xxz_mpo
+    from tensornetwork_tpu.models.symmetric_dmrg_batched import (
+        BatchedSymmetricDMRG)
+    N, chi, B = 6, 10, 2
+    skel = uniform_skeleton_mps(N, chi, dtype=np.float32)
+    mpo = u1_xxz_mpo(1.0, 1.0, 0.0, N)
+    data = random_data_batch(skel, B, seed=0)
+    ref = BatchedSymmetricDMRG(skel, [d.copy() for d in data], mpo,
+                               num_krylov_vecs=10)
+    es_ref = ref.run_one_site(num_sweeps=2)
+    ep = BatchedSymmetricDMRG(skel, [d.copy() for d in data], mpo,
+                              num_krylov_vecs=10, ep_mesh=mesh)
+    es_ep = ep.run_one_site(num_sweeps=2)
+    np.testing.assert_allclose(es_ep, es_ref, atol=5e-6)
+
+
+@pytest.mark.slow
+def test_ep_symmetric_dmrg_two_site_matches_single_device(mesh):
+    # two-site: sector-sharded contractions + DISTRIBUTED per-sector
+    # truncation (lax.switch branch per device, psum reassembly)
+    from tensornetwork_tpu.blocksparse.batched import (
+        uniform_skeleton_mps, random_data_batch)
+    from tensornetwork_tpu.models.symmetric_dmrg import u1_xxz_mpo
+    from tensornetwork_tpu.models.symmetric_dmrg_batched import (
+        BatchedSymmetricDMRG)
+    N, chi, B = 6, 10, 2
+    skel = uniform_skeleton_mps(N, chi, dtype=np.float32)
+    mpo = u1_xxz_mpo(1.0, 1.0, 0.0, N)
+    data = random_data_batch(skel, B, seed=1)
+    ref = BatchedSymmetricDMRG(skel, [d.copy() for d in data], mpo,
+                               num_krylov_vecs=10)
+    es_ref = ref.run_two_site(num_sweeps=2)
+    ep = BatchedSymmetricDMRG(skel, [d.copy() for d in data], mpo,
+                              num_krylov_vecs=10, ep_mesh=mesh)
+    es_ep = ep.run_two_site(num_sweeps=2)
+    np.testing.assert_allclose(es_ep, es_ref, atol=1e-5)
+    np.testing.assert_allclose(ep.truncation_errors[-1],
+                               ref.truncation_errors[-1], atol=1e-6)
