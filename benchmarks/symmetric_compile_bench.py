@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--precompile", action="store_true",
                     help="threaded AOT precompile before the first sweep")
     ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--export-dir", default=None,
+                    help="serialized-trace artifact dir: exports after "
+                    "the run if empty, loads before the run if populated "
+                    "(VERDICT r2 item 3; pair with the persistent "
+                    "compilation cache for the full effect)")
     args = ap.parse_args()
 
     from tensornetwork_tpu.blocksparse.batched import (
@@ -52,6 +57,18 @@ def main():
     log(f"setup (skeletons + env skeletons): "
         f"{time.perf_counter() - t0:.1f}s")
 
+    export_after = False
+    if args.export_dir:
+        have = (os.path.isdir(args.export_dir)
+                and any(f.endswith(".shlo")
+                        for f in os.listdir(args.export_dir)))
+        if have:
+            t0 = time.perf_counter()
+            n = dmrg.load_programs(args.export_dir)
+            log(f"loaded {n} serialized traces in "
+                f"{time.perf_counter() - t0:.1f}s (tracing skipped)")
+        else:
+            export_after = True
     if args.precompile:
         t0 = time.perf_counter()
         dmrg.precompile(max_workers=args.workers, verbose=1)
@@ -68,6 +85,11 @@ def main():
     es = dmrg.run_one_site(num_sweeps=1, tol=0)
     log(f"steady-state sweep: {time.perf_counter() - t0:.2f}s; "
         f"E mean {np.mean(dmrg.energies[-1]):.6f}")
+    if export_after:
+        t0 = time.perf_counter()
+        n = dmrg.export_programs(args.export_dir)
+        log(f"exported {n} serialized traces to {args.export_dir} in "
+            f"{time.perf_counter() - t0:.1f}s")
 
 
 if __name__ == "__main__":

@@ -195,6 +195,11 @@ class BatchedSymmetricDMRG:
                                          (self.B,) + w.data.shape)
                         for w in mpo]
         self.mpo_data = list(mpo_data)
+        # environment stacks inherit the promoted dtype of the growth
+        # chain (data x mpo); boundary envs and AOT export specs must
+        # agree with it
+        self._env_dtype = jnp.result_type(self.data[0].dtype,
+                                          self.mpo_data[0].dtype)
         # data parallelism over realizations: shard the batch axis of
         # every data stack across the mesh; the sweep contains no
         # cross-instance term, so XLA inserts no collectives at all
@@ -321,8 +326,13 @@ class BatchedSymmetricDMRG:
             return jax.ShapeDtypeStruct((self.B, skel.data.shape[0]),
                                         dtype)
 
+        def sds_env(skel):
+            return jax.ShapeDtypeStruct((self.B, skel.data.shape[0]),
+                                        self._env_dtype)
+
         def sds_w(site):
-            return jax.ShapeDtypeStruct(self.mpo_data[site].shape, dtype)
+            return jax.ShapeDtypeStruct(self.mpo_data[site].shape,
+                                        self.mpo_data[site].dtype)
 
         lowered = []
         for site in range(self.N - 1, 0, -1):
@@ -331,7 +341,7 @@ class BatchedSymmetricDMRG:
                 lowered.append((("canon", self._canon_key(site)),
                                 run.lower(
                     sds(self.skeleton[site]), sds(self.skeleton[site - 1]),
-                    sds_w(site), sds(self._Rskel[site + 1]))))
+                    sds_w(site), sds_env(self._Rskel[site + 1]))))
         for direction, sites in (("right", range(self.N - 1)),
                                  ("left", range(self.N - 1, 0, -1))):
             for site in sites:
@@ -341,8 +351,8 @@ class BatchedSymmetricDMRG:
                     continue
                 lowered.append(((prog, None), prog._step.lower(
                     sds(self.skeleton[site]), sds(self.skeleton[nxt]),
-                    sds_w(site), sds(self._Lskel[site]),
-                    sds(self._Rskel[site + 1]))))
+                    sds_w(site), sds_env(self._Lskel[site]),
+                    sds_env(self._Rskel[site + 1]))))
         t_trace = _time.perf_counter() - t0
         # dedupe: _program/_canon_program already share instances across
         # sites with equal charge structure, so each entry is unique
@@ -361,12 +371,150 @@ class BatchedSymmetricDMRG:
                   f"(trace {t_trace:.1f}s)")
         return dt
 
+    # -- serialized-trace AOT artifacts (VERDICT r2 item 3) -----------------
+    # The cold compile wall at chi=1024 N=16 is TRACING-dominated (121 s,
+    # Python/GIL-bound, sequential; BASELINE.md) — compile parallelism
+    # cannot cut it.  jax.export serializes the traced StableHLO per
+    # program; a second process deserializes instead of retracing, and the
+    # persistent XLA compilation cache supplies the compiled binaries, so
+    # the second-process cold start skips BOTH walls.
+
+    def _export_sig(self, kind: str, sig) -> str:
+        import hashlib
+        payload = repr((jax.__version__, kind, sig, self.B,
+                        str(jnp.dtype(self.data[0].dtype)),
+                        str(jnp.dtype(self.mpo_data[0].dtype)), self.m,
+                        self.ritz, self.reorth))
+        return hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+    def _canon_sig(self, site: int):
+        from tensornetwork_tpu.blocksparse.jax_engine import _structure_key
+        return (_structure_key(self.skeleton[site]),
+                _structure_key(self.skeleton[site - 1]),
+                _structure_key(self.mpo[site]),
+                _structure_key(self._Rskel[site + 1]))
+
+    def _iter_program_keys(self):
+        """(kind, stable-sig, builder args) for every one-site program."""
+        seen = set()
+        for site in range(self.N - 1, 0, -1):
+            sig = ("canon", self._canon_sig(site))
+            if sig not in seen:
+                seen.add(sig)
+                yield ("canon", sig, site)
+        for direction, sites in (("right", range(self.N - 1)),
+                                 ("left", range(self.N - 1, 0, -1))):
+            for site in sites:
+                nxt = site + 1 if direction == "right" else site - 1
+                sig = (direction, self._structure_sig(
+                    self.skeleton[site], self.skeleton[nxt],
+                    self.mpo[site], self._Lskel[site],
+                    self._Rskel[site + 1]))
+                if sig not in seen:
+                    seen.add(sig)
+                    yield ("site", sig, (site, direction))
+
+    def export_programs(self, path: str, verbose: int = 0) -> int:
+        """Serialize every one-site program's traced StableHLO to
+        ``path`` (one file per unique charge-structure program, named by
+        a hash of the structure + batch/dtype/solver config).  Call
+        before :meth:`precompile` (exports need the jitted, not the
+        AOT-compiled, callables).  Returns the number written."""
+        import os
+        from jax import export as jexport
+        if self.ep_mesh is not None or self._batch_sharding is not None:
+            raise ValueError("export is for the single-device path")
+        os.makedirs(path, exist_ok=True)
+        dtype = self.data[0].dtype
+
+        def sds(skel):
+            return jax.ShapeDtypeStruct((self.B, skel.data.shape[0]),
+                                        dtype)
+
+        def sds_env(skel):
+            return jax.ShapeDtypeStruct((self.B, skel.data.shape[0]),
+                                        self._env_dtype)
+
+        n = 0
+        for kind, sig, ref in self._iter_program_keys():
+            fname = os.path.join(path, self._export_sig(kind, sig) + ".shlo")
+            if os.path.exists(fname):
+                continue
+            if kind == "canon":
+                site = ref
+                run = self._canon_program(site)
+                if not hasattr(run, "lower"):
+                    continue
+                exp = jexport.export(run)(
+                    sds(self.skeleton[site]), sds(self.skeleton[site - 1]),
+                    jax.ShapeDtypeStruct(self.mpo_data[site].shape,
+                                         self.mpo_data[site].dtype),
+                    sds_env(self._Rskel[site + 1]))
+            else:
+                site, direction = ref
+                nxt = site + 1 if direction == "right" else site - 1
+                prog = self._program(site, direction)
+                if not hasattr(prog._step, "lower"):
+                    continue
+                exp = jexport.export(prog._step)(
+                    sds(self.skeleton[site]), sds(self.skeleton[nxt]),
+                    jax.ShapeDtypeStruct(self.mpo_data[site].shape,
+                                         self.mpo_data[site].dtype),
+                    sds_env(self._Lskel[site]),
+                    sds_env(self._Rskel[site + 1]))
+            with open(fname, "wb") as f:
+                f.write(exp.serialize())
+            n += 1
+            if verbose:
+                print(f"exported {kind} program -> {fname}")
+        return n
+
+    def load_programs(self, path: str, verbose: int = 0) -> int:
+        """Install serialized traces from ``path`` (written by
+        :meth:`export_programs`, possibly by another process): matching
+        programs skip tracing entirely — their first call deserializes
+        StableHLO and goes straight to XLA compilation (served by the
+        persistent compilation cache when enabled).  Returns the number
+        of programs installed."""
+        import os
+        from jax import export as jexport
+
+        class _Loaded:
+            def __init__(self, call):
+                self._step = call
+
+            def __call__(self, *args):
+                return self._step(*args)
+
+        n = 0
+        for kind, sig, ref in self._iter_program_keys():
+            fname = os.path.join(path, self._export_sig(kind, sig) + ".shlo")
+            if not os.path.exists(fname):
+                continue
+            with open(fname, "rb") as f:
+                exp = jexport.deserialize(f.read())
+            call = jax.jit(exp.call)
+            if kind == "canon":
+                self._canon_programs[self._canon_key(ref)] = call
+            else:
+                site, direction = ref
+                nxt = site + 1 if direction == "right" else site - 1
+                key = (direction, self._structure_sig(
+                    self.skeleton[site], self.skeleton[nxt],
+                    self.mpo[site], self._Lskel[site],
+                    self._Rskel[site + 1]))
+                self._programs[key] = _Loaded(call)
+            n += 1
+            if verbose:
+                print(f"loaded {kind} program <- {fname}")
+        return n
+
     def run_one_site(self, num_sweeps: int = 4, tol: float = 1e-10,
                      verbose: int = 0) -> np.ndarray:
         """Returns the per-realization energies (B,) of the last sweep."""
         # right-canonicalize and build right envs
         Rdata: List[Array] = [None] * (self.N + 1)
-        Rdata[self.N] = jnp.ones((self.B, 1), self.data[0].dtype)
+        Rdata[self.N] = jnp.ones((self.B, 1), self._env_dtype)
         if self._batch_sharding is not None:
             Rdata[self.N] = jax.device_put(Rdata[self.N],
                                            self._batch_sharding)
@@ -381,7 +529,7 @@ class BatchedSymmetricDMRG:
         es = None
         for sweep in range(num_sweeps):
             Ldata: List[Array] = [None] * (self.N + 1)
-            Ldata[0] = jnp.ones((self.B, 1), self.data[0].dtype)
+            Ldata[0] = jnp.ones((self.B, 1), self._env_dtype)
             if self._batch_sharding is not None:
                 Ldata[0] = jax.device_put(Ldata[0], self._batch_sharding)
             for site in range(self.N - 1):
@@ -515,7 +663,7 @@ def _install_two_site(cls):
         per-realization energies (B,) of the last sweep; accumulated
         squared discarded weights in ``self.truncation_errors``."""
         Rdata = [None] * (self.N + 1)
-        Rdata[self.N] = jnp.ones((self.B, 1), self.data[0].dtype)
+        Rdata[self.N] = jnp.ones((self.B, 1), self._env_dtype)
         if self._batch_sharding is not None:
             Rdata[self.N] = jax.device_put(Rdata[self.N],
                                            self._batch_sharding)
@@ -533,7 +681,7 @@ def _install_two_site(cls):
         for sweep in range(num_sweeps):
             terr_total = jnp.zeros((self.B,), self.data[0].dtype)
             Ldata = [None] * (self.N + 1)
-            Ldata[0] = jnp.ones((self.B, 1), self.data[0].dtype)
+            Ldata[0] = jnp.ones((self.B, 1), self._env_dtype)
             if self._batch_sharding is not None:
                 Ldata[0] = jax.device_put(Ldata[0], self._batch_sharding)
             for bond in range(self.N - 1):
