@@ -179,25 +179,31 @@ def _local_solve_1s(Lenv: Array, W: Array, Renv: Array, A: Array,
     if lanczos_impl == "fused":
         chi, d = A.shape[0], A.shape[1]
         M = W.shape[0]
-        # Per-program VMEM footprint: L+R blocks, x, the m-row Krylov
-        # basis and ~3 working vectors, all (chi, chi) f32 tiles.  VMEM
-        # is ~16 MB/core; chi=256 (8.9 MB raw) is measured-safe, chi=512
-        # (35 MB) is not — fall back to the XLA Lanczos there.
+        from tensornetwork_tpu.ops import kernels
+        # Tier 1 — single-pass, basis resident: L+R blocks, x, the m-row
+        # Krylov basis and ~3 working vectors, all (chi, chi) f32 tiles.
+        # VMEM is ~16 MB/core; chi=256 (8.9 MB raw) is measured-safe.
         vmem_bytes = 4 * chi * chi * (2 * M + d * (num_krylov_vecs + 4))
-        # two-pass (no basis storage) footprint: L, R + ~6 working tiles.
-        # NOTE (measured 2026-08-21): at chi=512, M=3, d=2 this is
-        # 18.9 MB — still above VMEM, so chi=512 single-instance runs
-        # the XLA path (latency-bound, ~41 us/dependent GEMM layer; see
-        # BASELINE.md chi-scaling).  Engaging the fused kernel there
-        # needs streamed L/R via manual DMA — future work.
+        # Tier 2 — two-pass (no basis storage): L, R + ~6 working tiles;
+        # 2x matvec cost.  At chi=512, M=3, d=2 this is 18.9 MB — over.
         vmem_2pass = 4 * chi * chi * (2 * M + 6 * d)
+        # Tier 3 — streamed: chi chunked over a third grid axis, L
+        # streamed in, basis streamed OUT to HBM (VERDICT r2 item 1);
+        # fits chi=512 at K=4 with 1x matvecs.
+        n_chunks = kernels.streamed_chunk_count(chi, d, M)
         if vmem_bytes <= 12 * 2**20 or vmem_2pass <= 12 * 2**20:
-            from tensornetwork_tpu.ops import kernels
             ev, evec = kernels.fused_lanczos_ground_state(
                 Lenv[None], W, Renv[None], A[None],
                 num_krylov_vecs=num_krylov_vecs, ritz_method=ritz_impl,
                 interpret=interpret, precision=jax.lax.Precision.HIGHEST,
                 two_pass=vmem_bytes > 12 * 2**20)
+            return ev[0], evec[0]
+        if n_chunks is not None:
+            ev, evec = kernels.fused_lanczos_ground_state_streamed(
+                Lenv[None], W, Renv[None], A[None],
+                num_krylov_vecs=num_krylov_vecs, ritz_method=ritz_impl,
+                n_chunks=n_chunks, interpret=interpret,
+                precision=jax.lax.Precision.HIGHEST)
             return ev[0], evec[0]
     mv = lambda x: _matvec_1s(Lenv, W, Renv, x, matvec_prec)
     evals, evecs = krylov.eigsh_lanczos(

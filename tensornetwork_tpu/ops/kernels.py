@@ -413,6 +413,230 @@ def make_fused_lanczos_2pass(chi: int, d: int, M: int, m: int,
     return fact, replay
 
 
+def make_fused_lanczos_streamed(chi: int, d: int, M: int, m: int,
+                                n_chunks: int = 4,
+                                delta: float = 1e-8,
+                                accum_dtype=jnp.float32,
+                                interpret: bool = False,
+                                precision=None):
+    """Large-chi whole-Lanczos kernel with the chi axis CHUNKED over a
+    third grid dimension (VERDICT r2 item 1: at chi=512 both the
+    single-pass basis (35 MB) and the two-pass working set (18.9 MB)
+    exceed the ~16 MB VMEM, so the fused path could never engage and the
+    XLA path runs dependent-op-latency-bound at ~41 us/GEMM layer).
+
+    Memory plan (per grid program, tiles of chi*chi f32 = chi^2*4 B):
+
+    * resident in VMEM scratch: the three recurrence vectors
+      ``v, v_prev, w`` (d tiles each) + the chunked stage-1 intermediate
+      ``P`` (M*d chunk-tiles);
+    * resident inputs: ``Rt`` (M tiles; its block index ignores the j/k
+      grid axes, so Mosaic keeps ONE buffer) and the start vector
+      ``v0`` (d tiles);
+    * streamed: ``Lt`` arrives in c-chunks (block index follows k,
+      double-buffered DMA overlaps the GEMMs), and the Krylov basis
+      ``V`` leaves chunk-by-chunk as an OUTPUT — it never resides on
+      chip, which is what removes the single-pass kernel's m*d*chi^2
+      wall.
+
+    Total ~ (2M + 3d + d)*chi^2*4 + (M*d + M)*chi^2*4/K: 14.5 MB at
+    chi=512, M=3, d=2, K=4 — and unlike the two-pass variant the matvec
+    count stays 1x.  The K chunk GEMMs of each stage are independent,
+    so consecutive grid steps overlap systolic fill/drain even at B=1 —
+    the "parallel work per dependency step" the fusion rule demands
+    (BASELINE.md), which batch provided at small chi and chunking
+    provides here.
+
+    Grid ``(B, m, K)``; per (j, k): stage 1 computes
+    ``P[w,t][c-chunk, b] = Lt[w][c-chunk, :] @ v[t]``, stage 2
+    accumulates ``w[s][c-chunk, :] = sum_v (sum_wt W*P) @ Rt[v]`` and the
+    chunk's alpha contribution; ``V[j]``'s chunk is emitted; at
+    ``k == K-1`` the three-term update, beta, and the basis rotation run
+    on the resident full tiles.  Semantics identical to
+    :func:`make_fused_lanczos` (plain three-term recurrence, +1e10 dead
+    sentinels); returns the same ``(V, ab)``.
+    """
+    LARGE = 1e10
+    if chi % n_chunks:
+        raise ValueError(f"chi={chi} not divisible by n_chunks={n_chunks}")
+    cs = chi // n_chunks
+    K = n_chunks
+
+    def kernel(W_ref, Rt_ref, x0_ref, Lc_ref, V_ref, ab_ref,
+               v_scr, vp_scr, w_scr, P_scr, st_scr):
+        # st_scr (SMEM f32): [0]=alpha_acc, [1]=beta_prev, [2]=alive
+        j = pl.program_id(1)
+        k = pl.program_id(2)
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=accum_dtype)
+
+        @pl.when(jnp.logical_and(j == 0, k == 0))
+        def _():
+            x0 = x0_ref[0].astype(accum_dtype)          # (d, chi, chi)
+            nrm = jnp.sqrt(jnp.sum(x0 * x0))
+            inv = jnp.where(nrm > delta,
+                            1.0 / jnp.where(nrm > 0, nrm, 1.0), 0.0)
+            v_scr[...] = x0 * inv
+            vp_scr[...] = jnp.zeros_like(x0)
+            st_scr[1] = jnp.zeros((), accum_dtype)
+            st_scr[2] = (nrm > delta).astype(accum_dtype)
+
+        @pl.when(k == 0)
+        def _():
+            st_scr[0] = jnp.zeros((), accum_dtype)
+
+        # emit this chunk of the CURRENT basis vector
+        for t in range(d):
+            V_ref[0, 0, t] = v_scr[t, pl.ds(k * cs, cs), :].astype(
+                V_ref.dtype)
+
+        # stage 1: P[w, t] = Lt[w][c-chunk, :] @ v[t]      (cs, chi)
+        for w_i in range(M):
+            for t in range(d):
+                P_scr[w_i, t] = dot(Lc_ref[0, w_i], v_scr[t])
+        # stage 2: w[s][c-chunk, :] = sum_v (sum_wt W[w,v,s,t] P) @ Rt[v]
+        alpha_part = jnp.zeros((), accum_dtype)
+        for s in range(d):
+            acc = None
+            for v_i in range(M):
+                Q = None
+                for w_i in range(M):
+                    for t in range(d):
+                        term = W_ref[w_i, v_i, s, t] * P_scr[w_i, t]
+                        Q = term if Q is None else Q + term
+                contrib = dot(Q, Rt_ref[0, v_i])
+                acc = contrib if acc is None else acc + contrib
+            w_scr[s, pl.ds(k * cs, cs), :] = acc
+            alpha_part = alpha_part + jnp.sum(
+                v_scr[s, pl.ds(k * cs, cs), :] * acc)
+        st_scr[0] = st_scr[0] + alpha_part
+
+        @pl.when(k == K - 1)
+        def _():
+            alive = st_scr[2] > 0.5
+            alpha = st_scr[0]
+            ab_ref[0, 0, j] = jnp.where(alive, alpha, LARGE)
+            wv = (w_scr[...] - alpha * v_scr[...]
+                  - st_scr[1] * vp_scr[...])
+            beta = jnp.sqrt(jnp.sum(wv * wv))
+            alive_next = jnp.logical_and(alive, beta > delta)
+            if m > 1:
+                @pl.when(j < m - 1)
+                def _():
+                    ab_ref[0, 1, j] = jnp.where(alive_next, beta, 0.0)
+            @pl.when(j == m - 1)
+            def _():
+                ab_ref[0, 1, m - 1] = jnp.zeros((), accum_dtype)
+            inv = jnp.where(beta > delta,
+                            1.0 / jnp.where(beta > 0, beta, 1.0), 0.0)
+            keep = alive_next.astype(accum_dtype)
+            vp_scr[...] = v_scr[...]
+            v_scr[...] = wv * inv * keep
+            st_scr[1] = jnp.where(alive_next, beta,
+                                  jnp.zeros((), accum_dtype))
+            st_scr[2] = alive_next.astype(accum_dtype)
+
+    @jax.jit
+    def f(Lt, W, Rt, x0):
+        B = x0.shape[0]
+        grid = (B, m, K)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((M, M, d, d), lambda i, j, k: (0, 0, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, M, chi, chi),
+                             lambda i, j, k: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d, chi, chi),
+                             lambda i, j, k: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, M, cs, chi),
+                             lambda i, j, k: (i, 0, k, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, d, cs, chi),
+                             lambda i, j, k: (i, j, 0, k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, m), lambda i, j, k: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, m, d, chi, chi), x0.dtype),
+                jax.ShapeDtypeStruct((B, 2, m), accum_dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((d, chi, chi), accum_dtype),   # v
+                pltpu.VMEM((d, chi, chi), accum_dtype),   # v_prev
+                pltpu.VMEM((d, chi, chi), accum_dtype),   # w
+                pltpu.VMEM((M, d, cs, chi), accum_dtype),  # P chunk
+                pltpu.SMEM((3,), accum_dtype),            # alpha/beta/alive
+            ],
+            interpret=interpret,
+        )(W, Rt, x0, Lt)
+
+    return f
+
+
+def streamed_chunk_count(chi: int, d: int, M: int,
+                         budget_bytes: int = 16_000_000) -> Optional[int]:
+    """Smallest power-of-two chunk count K (dividing chi, K <= chi/128)
+    for which the streamed kernel's VMEM plan fits ``budget_bytes``;
+    None if no admissible K exists (chi too large — TP-shard instead)."""
+    tile = 4 * chi * chi
+    K = 2
+    while K <= max(chi // 128, 1):
+        if chi % K == 0:
+            resident = tile * (M + d + 3 * d)          # Rt + x0 + v/vp/w
+            chunked = tile * (2 * M + M * d + 2 * d) // K  # L(2x), P, Vout
+            if resident + chunked <= budget_bytes:
+                return K
+        K *= 2
+    return None
+
+
+def fused_lanczos_ground_state_streamed(L, W, R, x0, num_krylov_vecs: int,
+                                        ritz_method: str = "power",
+                                        power_iters: int = 60,
+                                        delta: float = 1e-8,
+                                        n_chunks: Optional[int] = None,
+                                        interpret: bool = False,
+                                        precision=None):
+    """Batched ground-state Lanczos via the chi-chunked streamed kernel
+    (:func:`make_fused_lanczos_streamed`) — the large-chi tier of
+    :func:`fused_lanczos_ground_state` (same solver-layout operands and
+    return convention)."""
+    from tensornetwork_tpu.ops import krylov
+
+    B, chi, _, _ = L.shape
+    d = x0.shape[2]
+    M = W.shape[0]
+    m = num_krylov_vecs
+    accum = x0.dtype if x0.dtype == jnp.float64 else jnp.float32
+    if n_chunks is None:
+        n_chunks = streamed_chunk_count(chi, d, M)
+        if n_chunks is None:
+            raise ValueError(
+                f"no streamed-kernel chunking fits VMEM at chi={chi}")
+    Lt, W_, Rt, xt = prepare_operands(L, W, R, x0)
+    fs = make_fused_lanczos_streamed(chi, d, M, m, n_chunks=n_chunks,
+                                     delta=delta, accum_dtype=accum,
+                                     interpret=interpret,
+                                     precision=precision)
+    V, ab = fs(Lt, W_.astype(accum), Rt, xt)
+    alphas, betas = ab[:, 0, :], ab[:, 1, : m - 1]
+    evals, weights = jax.vmap(
+        lambda al, be: krylov.tridiag_ritz(al, be, ritz_method,
+                                           power_iters))(alphas, betas)
+    y = jnp.einsum("Bm,Bmtab->Btab", weights.astype(V.dtype), V)
+    nrm = jnp.sqrt(jnp.sum(y * y, axis=(1, 2, 3), keepdims=True))
+    y = y / jnp.where(nrm > delta, nrm, 1.0)
+    return evals, y.transpose(0, 2, 1, 3)
+
+
 def fused_lanczos_ground_state(L, W, R, x0, num_krylov_vecs: int,
                                ritz_method: str = "power",
                                power_iters: int = 60,

@@ -80,3 +80,21 @@ def test_tp_chi1024_single_instance():
     assert np.isfinite(e)
     shard_shapes = {s.data.shape for s in dmrg.As.addressable_shards}
     assert shard_shapes == {(N, chi, 2, chi // Pdev)}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_tp_two_site_and_chained_end_sync():
+    # VERDICT r2 item 6: TP at parity — two-site sweeps, renvs chaining,
+    # and no per-sweep host fetch (energies fetched once at the end)
+    N, chi, Pdev = 8, 8, 4
+    mesh = make_mesh((Pdev,), ("model",), devices=jax.devices()[:Pdev])
+    mpo = FiniteTFI(Jx=-1.0, Bz=-0.9, N=N)
+    exact = float(np.linalg.eigvalsh(np.asarray(mpo_to_dense(mpo)))[0])
+    As = random_mps_stack(jax.random.PRNGKey(4), N, chi)
+    dmrg = TPShardedDMRG(As, mpo, mesh, num_krylov_vecs=20)
+    e = dmrg.run_two_site(num_sweeps=6)     # tol=None: end-sync mode
+    assert len(dmrg.energies) == 6          # all sweeps ran, one fetch
+    np.testing.assert_allclose(e, exact, rtol=1e-7)
+    # chained one-site polish from the two-site state
+    e1 = dmrg.run_one_site(num_sweeps=2)
+    np.testing.assert_allclose(e1, exact, rtol=1e-7)
