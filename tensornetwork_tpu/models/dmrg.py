@@ -468,6 +468,7 @@ def two_site_sweep(
     trunc_impl: Optional[str] = None,
     trunc_iters: Optional[int] = None,
     trunc_orth: Optional[str] = None,
+    trunc_polar_fast: Optional[Tuple[int, int]] = None,
     renvs: Optional[Array] = None,
 ) -> SweepResult:
     """One full two-site DMRG sweep (reference ``run_two_site``,
@@ -494,25 +495,27 @@ def two_site_sweep(
     return _two_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs,
                                boundary_envs, qr_impl, ritz_impl, reorth,
                                matvec_prec, lanczos_impl, interpret,
-                               trunc_impl, trunc_iters, trunc_orth, renvs)
+                               trunc_impl, trunc_iters, trunc_orth, renvs,
+                               trunc_polar_fast)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth",
                      "matvec_prec", "lanczos_impl", "interpret",
-                     "trunc_impl", "trunc_iters", "trunc_orth"))
+                     "trunc_impl", "trunc_iters", "trunc_orth",
+                     "trunc_polar_fast"))
 def _two_site_sweep_jit(As, Ws, vL, vR, num_krylov_vecs, boundary_envs,
                         qr_impl, ritz_impl, reorth=True, matvec_prec=None,
                         lanczos_impl="xla", interpret=False,
                         trunc_impl="svd", trunc_iters=4, trunc_orth="qr",
-                        renvs=None):
+                        renvs=None, trunc_polar_fast=None):
     with jax.default_matmul_precision("highest"):
         return _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                                     boundary_envs, qr_impl, ritz_impl,
                                     reorth, matvec_prec, lanczos_impl,
                                     interpret, trunc_impl, trunc_iters,
-                                    trunc_orth, renvs)
+                                    trunc_orth, renvs, trunc_polar_fast)
 
 
 def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
@@ -520,7 +523,7 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                          reorth=True, matvec_prec=None,
                          lanczos_impl="xla", interpret=False,
                          trunc_impl="svd", trunc_iters=4, trunc_orth="qr",
-                         renvs=None):
+                         renvs=None, trunc_polar_fast=None):
     if ritz_impl is None:
         ritz_impl = RITZ_IMPL
     N, chi, d, _ = As.shape
@@ -555,7 +558,8 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         if trunc_impl == "subspace":
             st = subspace_truncate(th, chi,
                                    q0=pending.reshape(chi * d, chi),
-                                   iters=trunc_iters, orth=trunc_orth)
+                                   iters=trunc_iters, orth=trunc_orth,
+                                   polar_fast=trunc_polar_fast)
             s_norm = jnp.linalg.norm(st.rest)
             U = st.q.reshape(chi, d, chi)
             SV = (st.rest / jnp.where(s_norm > 0, s_norm, 1.0)
@@ -597,7 +601,8 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         if trunc_impl == "subspace":
             st = subspace_truncate(th.T, chi,
                                    q0=pending.reshape(chi, d * chi).T,
-                                   iters=trunc_iters, orth=trunc_orth)
+                                   iters=trunc_iters, orth=trunc_orth,
+                                   polar_fast=trunc_polar_fast)
             # th.T ~ q @ rest  =>  th ~ rest.T @ q.T = US @ V
             s_norm = jnp.linalg.norm(st.rest)
             US = (st.rest.T / jnp.where(s_norm > 0, s_norm, 1.0)

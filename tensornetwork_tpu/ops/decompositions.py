@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -380,7 +382,8 @@ class SubspaceTrunc(NamedTuple):
 
 def subspace_truncate(matrix, k: int, q0=None, iters: int = 6,
                       key=None, power: int = 1,
-                      orth: str = "qr") -> SubspaceTrunc:
+                      orth: str = "qr",
+                      polar_fast=None) -> SubspaceTrunc:
     """Rank-``k`` truncation by warm-started subspace iteration —
     matmuls + Cholesky-QR only, no batched SVD/eigh (which serialize
     pathologically on TPU; measured in BASELINE.md).
@@ -411,6 +414,13 @@ def subspace_truncate(matrix, k: int, q0=None, iters: int = 6,
     (the final QR hits a rank-deficient iterate and the backend's
     batched QR corrupts the span); plain "polar" is the batched-TPU
     default (328 inst-sweeps/s at floor -1.7e-5).
+
+    ``polar_fast=(quintic, cubic)``: with ``orth="polar"``, run the
+    INTERMEDIATE orthonormalizations with a truncated Newton-Schulz
+    schedule (they only have to keep the iterate well conditioned — the
+    span is re-mixed by the next Gram application anyway) and the full
+    dtype-aware schedule on the final iterate only.  Cuts the dominant
+    dependent-GEMM chain of the truncation stage ~(iters-1)x.
     """
     m = matrix.shape[-2]
     batch = matrix.shape[:-2]
@@ -428,7 +438,13 @@ def subspace_truncate(matrix, k: int, q0=None, iters: int = 6,
     if orth == "cholqr2":
         orth_fns = [cholqr2] * iters
     elif orth == "polar":
-        orth_fns = [ns_polar] * iters
+        if polar_fast is None:
+            orth_fns = [ns_polar] * iters
+        else:
+            qi, ci = polar_fast
+            fast = functools.partial(ns_polar, quintic_iters=qi,
+                                     cubic_iters=ci)
+            orth_fns = [fast] * (iters - 1) + [ns_polar]
     elif orth == "polar+qr":
         orth_fns = [ns_polar] * (iters - 1) + [jnp.linalg.qr]
     else:

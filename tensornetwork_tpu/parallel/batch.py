@@ -116,6 +116,7 @@ def batched_two_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
                            trunc_impl=None,
                            trunc_iters=None,
                            trunc_orth=None,
+                           trunc_polar_fast=None,
                            renvs=None):
     """Two-site batched sweep; batched-default impls as in
     :func:`batched_one_site_sweep` (incl. the fused Pallas Lanczos on
@@ -145,30 +146,33 @@ def batched_two_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
     return _batched_two_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
                                  qr_impl, ritz_impl, reorth, lanczos_impl,
                                  trunc_impl, trunc_iters, trunc_orth,
-                                 renvs)
+                                 trunc_polar_fast, renvs)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl", "reorth",
                      "lanczos_impl", "trunc_impl", "trunc_iters",
-                     "trunc_orth"))
+                     "trunc_orth", "trunc_polar_fast"))
 def _batched_two_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
                           qr_impl, ritz_impl, reorth=False,
                           lanczos_impl="xla", trunc_impl="svd",
-                          trunc_iters=4, trunc_orth="qr", renvs=None):
+                          trunc_iters=4, trunc_orth="qr",
+                          trunc_polar_fast=None, renvs=None):
     if renvs is None:
         fn = lambda As: _dmrg.two_site_sweep(
             As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
             qr_impl=qr_impl, ritz_impl=ritz_impl, reorth=reorth,
             lanczos_impl=lanczos_impl, trunc_impl=trunc_impl,
-            trunc_iters=trunc_iters, trunc_orth=trunc_orth)
+            trunc_iters=trunc_iters, trunc_orth=trunc_orth,
+            trunc_polar_fast=trunc_polar_fast)
         return jax.vmap(fn)(As_batch)
     fn = lambda As, rv: _dmrg.two_site_sweep(
         As, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
         qr_impl=qr_impl, ritz_impl=ritz_impl, reorth=reorth,
         lanczos_impl=lanczos_impl, trunc_impl=trunc_impl,
-        trunc_iters=trunc_iters, trunc_orth=trunc_orth, renvs=rv)
+        trunc_iters=trunc_iters, trunc_orth=trunc_orth,
+        trunc_polar_fast=trunc_polar_fast, renvs=rv)
     return jax.vmap(fn)(As_batch, renvs)
 
 
