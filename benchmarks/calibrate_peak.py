@@ -59,7 +59,11 @@ def batched_small(dep: bool):
                              (512, 128, 256, 128, 64),
                              (256, 128, 128, 256, 64),
                              (128, 256, 256, 256, 64),
-                             (32, 512, 512, 512, 64)):
+                             (32, 512, 512, 512, 64),
+                             (64, 512, 512, 512, 32),
+                             (256, 512, 512, 512, 16),
+                             (8, 512, 512, 512, 64),
+                             (16, 1024, 1024, 1024, 16)):
         key = jax.random.PRNGKey(1)
         a = (jax.random.normal(key, (G, M, K), jnp.float32)
              / np.sqrt(K)).astype(jnp.bfloat16)
@@ -101,13 +105,56 @@ def batched_small(dep: bool):
             f"({G:4d},{M},{K})x({K},{N_}) x{R}: {tf:6.1f} TF")
 
 
+def f32_highest_512():
+    """f32 HIGHEST-precision caps for the 512 shape class — the
+    currency the DMRG sweeps are measured in (analytic f32 FLOPs at
+    forced-highest matmuls)."""
+    for (G, R, dep) in ((8, 64, True), (32, 64, True), (8, 64, False),
+                        (64, 32, False)):
+        n = 512
+        key = jax.random.PRNGKey(2)
+        a = jax.random.normal(key, (G, n, n), jnp.float32) / np.sqrt(n)
+        b = jax.random.normal(key, (G, n, n), jnp.float32) / np.sqrt(n)
+
+        if dep:
+            @jax.jit
+            def run(a, b):
+                def body(x, _):
+                    y = jax.lax.dot_general(
+                        x, b, (((2,), (1,)), ((0,), (0,))),
+                        precision=jax.lax.Precision.HIGHEST)
+                    return y, ()
+                x, _ = jax.lax.scan(body, a, None, length=R)
+                return jnp.sum(jnp.abs(x))
+        else:
+            @jax.jit
+            def run(a, b):
+                def body(acc, _):
+                    y = jax.lax.dot_general(
+                        a, b, (((2,), (1,)), ((0,), (0,))),
+                        precision=jax.lax.Precision.HIGHEST)
+                    return acc + y, ()
+                acc, _ = jax.lax.scan(body, jnp.zeros_like(a), None,
+                                      length=R)
+                return jnp.sum(jnp.abs(acc))
+
+        dt = timed_scalar(run, a, b)
+        tf = 2 * R * G * n**3 / dt / 1e12
+        log(f"f32-highest ({G:3d},512,512)x(512,512) "
+            f"{'dep  ' if dep else 'indep'} x{R}: {tf:6.1f} TF")
+
+
 def main():
     log(f"devices: {jax.devices()}")
     warmup()
     log("warm")
+    if "--f32-512-only" in sys.argv:
+        f32_highest_512()
+        return
     big_gemm_peak()
     batched_small(dep=False)
     batched_small(dep=True)
+    f32_highest_512()
 
 
 if __name__ == "__main__":

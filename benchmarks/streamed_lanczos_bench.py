@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--m", type=int, default=10)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--skip-sweep", action="store_true")
+    ap.add_argument("--K", type=int, default=None)
     args = ap.parse_args()
     from tensornetwork_tpu.ops import kernels, krylov
 
@@ -55,7 +56,7 @@ def main():
     W = (W + W.transpose(1, 0, 3, 2)) / 2
     x0 = jnp.asarray(rng.standard_normal((1, chi, d, chi)), jnp.float32)
 
-    K = kernels.streamed_chunk_count(chi, d, M)
+    K = args.K or kernels.streamed_chunk_count(chi, d, M)
     log(f"chi={chi}: streamed chunk count K={K}")
 
     # --- correctness vs the XLA Lanczos oracle ---

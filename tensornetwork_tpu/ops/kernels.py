@@ -582,13 +582,19 @@ def make_fused_lanczos_streamed(chi: int, d: int, M: int, m: int,
 
 
 def streamed_chunk_count(chi: int, d: int, M: int,
-                         budget_bytes: int = 16_000_000) -> Optional[int]:
-    """Smallest power-of-two chunk count K (dividing chi, K <= chi/128)
-    for which the streamed kernel's VMEM plan fits ``budget_bytes``;
-    None if no admissible K exists (chi too large — TP-shard instead)."""
+                         budget_bytes: int = 14_000_000) -> Optional[int]:
+    """Smallest power-of-two chunk count K (dividing chi, chunks >= 64
+    rows) for which the streamed kernel's VMEM plan fits
+    ``budget_bytes``; None if no admissible K exists (chi too large —
+    TP-shard instead).
+
+    The budget is calibrated ON CHIP (TPU v5e, 2026-08-21): at chi=512
+    the K=4 plan (15.7 MB nominal) fails remote Mosaic compilation
+    (VMEM overflow) while K=8 (13.6 MB) compiles and validates exactly
+    — 14 MB encodes that boundary."""
     tile = 4 * chi * chi
     K = 2
-    while K <= max(chi // 128, 1):
+    while K <= max(chi // 64, 1):
         if chi % K == 0:
             resident = tile * (M + d + 3 * d)          # Rt + x0 + v/vp/w
             chunked = tile * (2 * M + M * d + 2 * d) // K  # L(2x), P, Vout
