@@ -133,7 +133,13 @@ def batched_two_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
         trunc_impl = ("subspace" if jax.default_backend() == "tpu"
                       else _dmrg.TRUNC_IMPL)
     if trunc_iters is None:
-        trunc_iters = _dmrg.TRUNC_ITERS
+        # batched-TPU default: 2 warm-started subspace iterations.
+        # On-chip A/B (B=256 chi=64 N=32, 2026-08-21): iters=2 matches
+        # or beats the iters=4 floor at every m (m=10: -1.17e-5 vs
+        # -1.69e-5) and is ~20% faster; iters=1 leaks truncation weight
+        # (floor +3.2e-4) — see BASELINE.md two-site table.
+        trunc_iters = (2 if jax.default_backend() == "tpu"
+                       else _dmrg.TRUNC_ITERS)
     if trunc_orth is None:
         # batched-TPU default: NS-polar orthonormalization at every
         # subspace iteration.  Measured on chip (B=256 chi=64 N=32 m=10,

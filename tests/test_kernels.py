@@ -208,5 +208,6 @@ def test_streamed_lanczos_matches_resident(rng):
 
 def test_streamed_chunk_count_gates():
     from tensornetwork_tpu.ops.kernels import streamed_chunk_count
-    assert streamed_chunk_count(512, 2, 3) == 4    # the target regime
+    assert streamed_chunk_count(512, 2, 3) == 8    # the target regime
+    # (K=4's 15.7 MB plan fails remote Mosaic VMEM on chip; K=8 passes)
     assert streamed_chunk_count(1024, 2, 3) is None  # TP territory
