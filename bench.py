@@ -210,6 +210,55 @@ def main():
     except Exception as e:
         log(f"chi=128 batched sweep probe failed: {type(e).__name__}: {e}")
 
+    # --- two-site batched DMRG (r3: the reference's canonical algorithm) ---
+    try:
+        from tensornetwork_tpu.parallel.batch import batched_two_site_sweep
+        m2s = 6   # warm-started two-site depth; floor -1.2e-5 (BASELINE.md)
+        res3 = batched_two_site_sweep(As_b, mpo.Ws, mpo.vL, mpo.vR,
+                                      num_krylov_vecs=m2s)
+        jax.block_until_ready(res3.As)
+        res3 = batched_two_site_sweep(res3.As, mpo.Ws, mpo.vL, mpo.vR,
+                                      num_krylov_vecs=m2s,
+                                      renvs=res3.renvs)
+        jax.block_until_ready(res3.As)
+        As3, rv3 = res3.As, res3.renvs
+        t0 = time.perf_counter()
+        for _ in range(3):
+            res3 = batched_two_site_sweep(As3, mpo.Ws, mpo.vL, mpo.vR,
+                                          num_krylov_vecs=m2s, renvs=rv3)
+            As3, rv3 = res3.As, res3.renvs
+        en3 = np.asarray(jax.device_get(res3.energy))
+        rate3 = B * 3 / (time.perf_counter() - t0)
+        log(f"two-site batched (B={B}, m={m2s}, subspace/polar iters=2): "
+            f"{rate3:.0f} instance-sweeps/s per chip "
+            f"(E span [{en3.min():.4f}, {en3.max():.4f}])")
+    except Exception as e:
+        log(f"two-site probe failed: {type(e).__name__}: {e}")
+
+    # --- chi=512 single instance (r3: streamed fused-Lanczos kernel) ---
+    try:
+        As5 = random_mps_stack(jax.random.PRNGKey(6), N, 512, 2, dtype)
+        res5 = one_site_sweep(As5, mpo.Ws, mpo.vL, mpo.vR,
+                              num_krylov_vecs=m)
+        jax.block_until_ready(res5.As)
+        res5 = one_site_sweep(res5.As, mpo.Ws, mpo.vL, mpo.vR,
+                              num_krylov_vecs=m, renvs=res5.renvs)
+        jax.block_until_ready(res5.As)
+        As5, rv5 = res5.As, res5.renvs
+        t0 = time.perf_counter()
+        for _ in range(4):
+            res5 = one_site_sweep(As5, mpo.Ws, mpo.vL, mpo.vR,
+                                  num_krylov_vecs=m, renvs=rv5)
+            As5, rv5 = res5.As, res5.renvs
+        e5 = float(res5.energy)
+        rate5 = 4 / (time.perf_counter() - t0)
+        log(f"chi=512 single instance (streamed fused Lanczos, K=8): "
+            f"{rate5:.2f} sweeps/s (18.6 TF f32-highest analytic = 81% "
+            f"of the 22.9 TF f32-highest chip peak; BASELINE.md), "
+            f"E = {e5:.6f}")
+    except Exception as e:
+        log(f"chi=512 probe failed: {type(e).__name__}: {e}")
+
     print(json.dumps({
         "metric": "dmrg_tfi_n32_chi64_instance_sweeps_per_s_per_chip",
         "value": round(agg_rate, 1),

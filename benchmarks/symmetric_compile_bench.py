@@ -36,7 +36,14 @@ def main():
                     "the run if empty, loads before the run if populated "
                     "(VERDICT r2 item 3; pair with the persistent "
                     "compilation cache for the full effect)")
+    ap.add_argument("--persistent-cache", action="store_true",
+                    help="enable the persistent XLA compilation cache "
+                    "(the compiled-binary half of the cold-start wall)")
     args = ap.parse_args()
+    if args.persistent_cache:
+        from tensornetwork_tpu.config import (
+            enable_persistent_compilation_cache)
+        enable_persistent_compilation_cache()
 
     from tensornetwork_tpu.blocksparse.batched import (
         random_data_batch, uniform_skeleton_mps)
@@ -57,18 +64,25 @@ def main():
     log(f"setup (skeletons + env skeletons): "
         f"{time.perf_counter() - t0:.1f}s")
 
-    export_after = False
     if args.export_dir:
         have = (os.path.isdir(args.export_dir)
                 and any(f.endswith(".shlo")
                         for f in os.listdir(args.export_dir)))
-        if have:
+        if not have:
+            # first process: serialize the traces BEFORE running, then
+            # load them back — the run below then compiles exactly the
+            # deserialized modules, so the persistent compilation cache
+            # is populated under the SAME keys every later process uses
+            # (compiling the original jits instead would warm the wrong
+            # cache entries; measured 2026-08-21)
             t0 = time.perf_counter()
-            n = dmrg.load_programs(args.export_dir)
-            log(f"loaded {n} serialized traces in "
-                f"{time.perf_counter() - t0:.1f}s (tracing skipped)")
-        else:
-            export_after = True
+            n = dmrg.export_programs(args.export_dir)
+            log(f"exported {n} serialized traces in "
+                f"{time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        n = dmrg.load_programs(args.export_dir)
+        log(f"loaded {n} serialized traces in "
+            f"{time.perf_counter() - t0:.1f}s (tracing skipped)")
     if args.precompile:
         t0 = time.perf_counter()
         dmrg.precompile(max_workers=args.workers, verbose=1)
@@ -81,15 +95,15 @@ def main():
     log(f"first sweep (cold compile): {first:.1f}s; "
         f"unique programs: {len(dmrg._programs)} site + "
         f"{len(dmrg._canon_programs)} canon")
+    # second sweep absorbs the loaded-program second-trace wave; third
+    # is the true steady state
+    t0 = time.perf_counter()
+    es = dmrg.run_one_site(num_sweeps=1, tol=0)
+    log(f"second sweep: {time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
     es = dmrg.run_one_site(num_sweeps=1, tol=0)
     log(f"steady-state sweep: {time.perf_counter() - t0:.2f}s; "
         f"E mean {np.mean(dmrg.energies[-1]):.6f}")
-    if export_after:
-        t0 = time.perf_counter()
-        n = dmrg.export_programs(args.export_dir)
-        log(f"exported {n} serialized traces to {args.export_dir} in "
-            f"{time.perf_counter() - t0:.1f}s")
 
 
 if __name__ == "__main__":
