@@ -48,6 +48,13 @@ Array = jax.Array
 # ---------------------------------------------------------------------------
 
 
+
+def _norm_like(x: Array) -> Array:
+    """Frobenius norm in x's dtype (jnp.linalg.norm upcasts f32 inputs
+    to f64 under jax_enable_x64, which would poison scan carries for
+    f32 states in the x64 test environment)."""
+    return jnp.linalg.norm(x).astype(x.dtype)
+
 def _update_left(L: Array, A: Array, W: Array) -> Array:
     return jnp.einsum("awc,atr,wvst,csp->rvp", L, A, W, jnp.conj(A),
                       optimize="auto")
@@ -297,7 +304,7 @@ def right_canonicalize_and_envs(
         Renv, Lm = carry
         A, W = inputs
         A = jnp.einsum("asb,bc->asc", A, Lm)
-        nrm = jnp.linalg.norm(A)
+        nrm = _norm_like(A)
         A = A / jnp.where(nrm > 0, nrm, 1.0)
         Q, Lm_new, Renv_new = _gauge_env_right(
             Renv, W, A, qr_impl or QR_IMPL, epilogue_impl, interpret)
@@ -415,7 +422,7 @@ def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         Lenv, Rm = carry
         A, W, Renv = inputs
         A = jnp.einsum("ab,bsc->asc", Rm, A)
-        nrm = jnp.linalg.norm(A)
+        nrm = _norm_like(A)
         A = A / jnp.where(nrm > 0, nrm, 1.0)
         E0, A_opt = _local_solve_1s(Lenv, W, Renv, A, num_krylov_vecs,
                                     ritz_impl, reorth, matvec_prec,
@@ -436,7 +443,7 @@ def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         Renv, Lm = carry
         A, W, Lenv = inputs
         A = jnp.einsum("asb,bc->asc", A, Lm)
-        nrm = jnp.linalg.norm(A)
+        nrm = _norm_like(A)
         A = A / jnp.where(nrm > 0, nrm, 1.0)
         E0, A_opt = _local_solve_1s(Lenv, W, Renv, A, num_krylov_vecs,
                                     ritz_impl, reorth, matvec_prec,
@@ -549,7 +556,7 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         Lenv, pending, terr = carry
         A_next, W1, W2, Renv = inputs
         theta = jnp.einsum("asb,btc->astc", pending, A_next)
-        nrm = jnp.linalg.norm(theta)
+        nrm = _norm_like(theta)
         theta = theta / jnp.where(nrm > 0, nrm, 1.0)
         E0, th_opt = _local_solve_2s(Lenv, W1, W2, Renv, theta,
                                      num_krylov_vecs, ritz_impl, reorth,
@@ -560,14 +567,14 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                                    q0=pending.reshape(chi * d, chi),
                                    iters=trunc_iters, orth=trunc_orth,
                                    polar_fast=trunc_polar_fast)
-            s_norm = jnp.linalg.norm(st.rest)
+            s_norm = _norm_like(st.rest)
             U = st.q.reshape(chi, d, chi)
             SV = (st.rest / jnp.where(s_norm > 0, s_norm, 1.0)
                   ).reshape(chi, d, chi)
             tsq = st.trunc_sq_norm
         else:
             res = svd_masked(th, max_singular_values=chi)
-            s_norm = jnp.linalg.norm(res.s)
+            s_norm = _norm_like(res.s)
             s = res.s / jnp.where(s_norm > 0, s_norm, 1.0)
             U = res.u.reshape(chi, d, chi)
             SV = (s[:, None] * res.vh).reshape(chi, d, chi)
@@ -592,7 +599,7 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
         Renv, pending, terr = carry
         A_prev, W1, W2, Lenv = inputs
         theta = jnp.einsum("asb,btc->astc", A_prev, pending)
-        nrm = jnp.linalg.norm(theta)
+        nrm = _norm_like(theta)
         theta = theta / jnp.where(nrm > 0, nrm, 1.0)
         E0, th_opt = _local_solve_2s(Lenv, W1, W2, Renv, theta,
                                      num_krylov_vecs, ritz_impl, reorth,
@@ -604,14 +611,14 @@ def _two_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                                    iters=trunc_iters, orth=trunc_orth,
                                    polar_fast=trunc_polar_fast)
             # th.T ~ q @ rest  =>  th ~ rest.T @ q.T = US @ V
-            s_norm = jnp.linalg.norm(st.rest)
+            s_norm = _norm_like(st.rest)
             US = (st.rest.T / jnp.where(s_norm > 0, s_norm, 1.0)
                   ).reshape(chi, d, chi)
             V = st.q.T.reshape(chi, d, chi)
             tsq = st.trunc_sq_norm
         else:
             res = svd_masked(th, max_singular_values=chi)
-            s_norm = jnp.linalg.norm(res.s)
+            s_norm = _norm_like(res.s)
             s = res.s / jnp.where(s_norm > 0, s_norm, 1.0)
             US = (res.u * s[None, :]).reshape(chi, d, chi)
             V = res.vh.reshape(chi, d, chi)
@@ -634,7 +641,10 @@ def random_mps_stack(
     key, N: int, chi: int, d: int = 2, dtype=jnp.float64,
 ) -> Array:
     """Random uniform MPS stack (N, chi, d, chi)."""
-    return jax.random.normal(key, (N, chi, d, chi), dtype) / np.sqrt(chi * d)
+    # divide by a python float, not a numpy f64 scalar — the latter
+    # silently promotes f32 stacks to f64 under jax_enable_x64
+    return (jax.random.normal(key, (N, chi, d, chi), dtype)
+            / float(np.sqrt(chi * d)))
 
 
 class FiniteDMRG:
