@@ -138,7 +138,7 @@ def finalize_output(y):
 def make_fused_lanczos(chi: int, d: int, M: int, m: int,
                        delta: float = 1e-8,
                        accum_dtype=jnp.float32, interpret: bool = False,
-                       precision=None):
+                       precision=None, tile_b: int = 1):
     """Whole-Lanczos-step kernel: all ``m`` H_eff matvecs of one site's
     local eigensolve run back-to-back inside one program, with L, R and
     every Krylov vector resident in VMEM (no HBM roundtrips between
@@ -159,6 +159,13 @@ def make_fused_lanczos(chi: int, d: int, M: int, m: int,
     tridiagonal Ritz solve happens *outside* (a per-instance scalar
     chain would serialize across the sequential grid programs; vmapped
     XLA handles the (B, m, m) solve in ~1 ms).
+
+    ``tile_b > 1`` packs several instances into one grid program with
+    PHASED issue: each Lanczos step runs stage 1 for every instance,
+    then stage 2 for every instance, then the (VPU) recurrences — so
+    consecutive MXU ops belong to different instances and systolic
+    fill/drain overlaps within a dependency step (the transfer-chain
+    "rows" trick applied to the Lanczos).
     """
     LARGE = 1e10
 
@@ -167,10 +174,12 @@ def make_fused_lanczos(chi: int, d: int, M: int, m: int,
             a, b, (((1,), (0,)), ((), ())),
             precision=precision, preferred_element_type=accum_dtype)
 
-        def matvec(v):
+        def matvec_stage1(i, v):
             # v: list of d (chi, chi) values in layout [a, b] per t.
-            P = [[dot(Lt_ref[0, w], v[t]) for t in range(d)]
-                 for w in range(M)]
+            return [[dot(Lt_ref[i, w], v[t]) for t in range(d)]
+                    for w in range(M)]
+
+        def matvec_stage2(i, P):
             y = []
             for s in range(d):
                 acc = None
@@ -180,50 +189,62 @@ def make_fused_lanczos(chi: int, d: int, M: int, m: int,
                         for t in range(d):
                             term = W_ref[w, vv, s, t] * P[w][t]
                             Q = term if Q is None else Q + term
-                    contrib = dot(Q, Rt_ref[0, vv])
+                    contrib = dot(Q, Rt_ref[i, vv])
                     acc = contrib if acc is None else acc + contrib
                 y.append(acc)
             return y
 
         vdot = lambda a, b: sum(jnp.sum(a[t] * b[t]) for t in range(d))
 
-        x0 = [x_ref[0, t].astype(accum_dtype) for t in range(d)]
-        nrm = jnp.sqrt(vdot(x0, x0))
-        inv = jnp.where(nrm > delta, 1.0 / jnp.where(nrm > 0, nrm, 1.0),
-                        0.0)
-        v = [x0[t] * inv for t in range(d)]
-        v_prev = [jnp.zeros_like(v[t]) for t in range(d)]
-        beta_prev = jnp.zeros((), accum_dtype)
-        alive = nrm > delta
+        v, v_prev, beta_prev, alive = [], [], [], []
+        for i in range(tile_b):
+            x0 = [x_ref[i, t].astype(accum_dtype) for t in range(d)]
+            nrm = jnp.sqrt(vdot(x0, x0))
+            inv = jnp.where(nrm > delta,
+                            1.0 / jnp.where(nrm > 0, nrm, 1.0), 0.0)
+            v.append([x0[t] * inv for t in range(d)])
+            v_prev.append([jnp.zeros_like(x0[t]) for t in range(d)])
+            beta_prev.append(jnp.zeros((), accum_dtype))
+            alive.append(nrm > delta)
         for j in range(m):
-            for t in range(d):
-                V_ref[0, j, t] = v[t].astype(V_ref.dtype)
-            w = matvec(v)
-            alpha = vdot(v, w)
-            ab_ref[0, 0, j] = jnp.where(alive, alpha, LARGE)
-            w = [w[t] - alpha * v[t] - beta_prev * v_prev[t]
-                 for t in range(d)]
-            beta = jnp.sqrt(vdot(w, w))
-            alive_next = jnp.logical_and(alive, beta > delta)
-            if j < m - 1:
-                ab_ref[0, 1, j] = jnp.where(alive_next, beta, 0.0)
-            inv = jnp.where(beta > delta, 1.0 / jnp.where(beta > 0, beta,
-                                                          1.0), 0.0)
-            keep = alive_next.astype(accum_dtype)
-            v_prev = v
-            v = [w[t] * inv * keep for t in range(d)]
-            beta_prev = jnp.where(alive_next, beta, 0.0)
-            alive = alive_next
-        ab_ref[0, 1, m - 1] = 0.0
+            for i in range(tile_b):
+                for t in range(d):
+                    V_ref[i, j, t] = v[i][t].astype(V_ref.dtype)
+            # phase A: every instance's stage-1 GEMMs (independent)
+            P_all = [matvec_stage1(i, v[i]) for i in range(tile_b)]
+            # phase B: every instance's stage-2 GEMMs
+            w_all = [matvec_stage2(i, P_all[i]) for i in range(tile_b)]
+            # phase C: the (VPU) three-term recurrences
+            for i in range(tile_b):
+                w = w_all[i]
+                alpha = vdot(v[i], w)
+                ab_ref[i, 0, j] = jnp.where(alive[i], alpha, LARGE)
+                w = [w[t] - alpha * v[i][t] - beta_prev[i] * v_prev[i][t]
+                     for t in range(d)]
+                beta = jnp.sqrt(vdot(w, w))
+                alive_next = jnp.logical_and(alive[i], beta > delta)
+                if j < m - 1:
+                    ab_ref[i, 1, j] = jnp.where(alive_next, beta, 0.0)
+                inv = jnp.where(beta > delta,
+                                1.0 / jnp.where(beta > 0, beta, 1.0), 0.0)
+                keep = alive_next.astype(accum_dtype)
+                v_prev[i] = v[i]
+                v[i] = [w[t] * inv * keep for t in range(d)]
+                beta_prev[i] = jnp.where(alive_next, beta, 0.0)
+                alive[i] = alive_next
+        for i in range(tile_b):
+            ab_ref[i, 1, m - 1] = 0.0
 
     @jax.jit
     def f(Lt, W, Rt, x0):
         B = x0.shape[0]
-        grid = (B,)
+        if B % tile_b != 0:
+            raise ValueError(f"batch {B} not divisible by tile {tile_b}")
+        grid = (B // tile_b,)
 
         def bs(lead, shape):
             return pl.BlockSpec(
-                (1, lead) + shape,
+                (tile_b, lead) + shape,
                 lambda i: (i, 0) + (0,) * len(shape),
                 memory_space=pltpu.VMEM)
 
@@ -238,10 +259,10 @@ def make_fused_lanczos(chi: int, d: int, M: int, m: int,
                 bs(d, (chi, chi)),
             ],
             out_specs=[
-                pl.BlockSpec((1, m, d, chi, chi),
+                pl.BlockSpec((tile_b, m, d, chi, chi),
                              lambda i: (i, 0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2, m), lambda i: (i, 0, 0),
+                pl.BlockSpec((tile_b, 2, m), lambda i: (i, 0, 0),
                              memory_space=pltpu.SMEM),
             ],
             out_shape=[
@@ -649,7 +670,8 @@ def fused_lanczos_ground_state(L, W, R, x0, num_krylov_vecs: int,
                                delta: float = 1e-8,
                                interpret: bool = False,
                                precision=None,
-                               two_pass: bool = False):
+                               two_pass: bool = False,
+                               tile_b: int = 1):
     """Batched ground-state Lanczos via the fused kernel.
 
     Solver-layout operands (batched): L (B,a,M,c), W (M,M,d,d),
@@ -681,7 +703,8 @@ def fused_lanczos_ground_state(L, W, R, x0, num_krylov_vecs: int,
     else:
         fl = make_fused_lanczos(chi, d, M, m, delta=delta,
                                 accum_dtype=accum,
-                                interpret=interpret, precision=precision)
+                                interpret=interpret, precision=precision,
+                                tile_b=tile_b)
         V, ab = fl(Lt, W_, Rt, xt)
         alphas, betas = ab[:, 0, :], ab[:, 1, : m - 1]
         evals, weights = jax.vmap(

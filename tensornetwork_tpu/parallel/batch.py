@@ -60,6 +60,17 @@ def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
                         else _dmrg.LANCZOS_IMPL)
     if epilogue_impl is None:
         epilogue_impl = _dmrg.EPILOGUE_IMPL
+    # Batched TPU default route: the PAIRED sweep packs 4 instances per
+    # fused-Lanczos program (phased in-program GEMM issue).  On-chip A/B
+    # (B=256 chi=64 m=10, 2026-08-21): 678 -> 837 inst-sweeps/s at an
+    # identical +2.3e-5 floor.  Engages only for the default knob
+    # combination the paired path implements.
+    if (jax.default_backend() == "tpu" and lanczos_impl == "fused"
+            and not reorth and matvec_prec is None
+            and epilogue_impl == "xla" and As_batch.shape[0] % 4 == 0):
+        return batched_one_site_sweep_paired(
+            As_batch, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
+            qr_impl=qr_impl, ritz_impl=ritz_impl, pair=4, renvs=renvs)
     return _batched_one_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
                                  qr_impl, ritz_impl, reorth, matvec_prec,
                                  lanczos_impl, epilogue_impl, renvs)
@@ -266,3 +277,132 @@ def _batched_tdvp_sc_jit(As_batch, Ws, vL, vR, dt_b, num_krylov_vecs,
                 None, lanczos_impl, interpret)
 
     return jax.vmap(one)(As_batch, dt_b)
+
+
+# ---------------------------------------------------------------------------
+# Paired batched sweep: tile_b instances per Pallas program
+# ---------------------------------------------------------------------------
+
+
+def _paired_one_site_sweep(As_p, Ws, vL, vR, num_krylov_vecs,
+                           qr_impl, ritz_impl, interpret,
+                           renvs_p=None):
+    """One-site sweep over a small stacked *pair* of instances
+    (P = leading axis), with the fused Lanczos kernel called directly on
+    the pair (``tile_b=P``: phased in-program issue — each dependency
+    step carries P instances of parallel GEMMs, measured 1.33x the
+    per-program-single-instance kernel at chi=64 B=256, 2026-08-21).
+    Everything else is the standard sweep vmapped over the pair axis.
+    Mirrors :func:`tensornetwork_tpu.models.dmrg._one_site_sweep_impl`.
+    """
+    from tensornetwork_tpu.ops import kernels
+    D = _dmrg
+    P, N, chi, d, _ = As_p.shape
+
+    if renvs_p is None:
+        As_p, Renvs_p = jax.vmap(
+            lambda A: D.right_canonicalize_and_envs(
+                A, Ws, vL, vR, qr_impl=qr_impl))(As_p)
+    else:
+        Renvs_p = renvs_p
+    # (P, N, ...) -> (N, P, ...) for the site scan
+    As_s = jnp.swapaxes(As_p, 0, 1)
+    Renvs_s = jnp.swapaxes(Renvs_p, 0, 1)
+    L0 = jnp.broadcast_to(D._boundary_left(chi, vL)[None],
+                          (P, chi, Ws.shape[1], chi))
+    eye_p = jnp.broadcast_to(jnp.eye(chi, dtype=As_p.dtype)[None],
+                             (P, chi, chi))
+
+    def norm_p(A):
+        n = jnp.sqrt(jnp.sum(A * A, axis=(1, 2, 3), keepdims=True))
+        return A / jnp.where(n > 0, n, 1.0)
+
+    def solve_p(Lenv, W, Renv, A):
+        ev, evec = kernels.fused_lanczos_ground_state(
+            Lenv, W, Renv, A, num_krylov_vecs=num_krylov_vecs,
+            ritz_method=ritz_impl, interpret=interpret,
+            precision=jax.lax.Precision.HIGHEST, tile_b=P)
+        return ev, evec
+
+    def body_lr(carry, inputs):
+        Lenv, Rm = carry
+        A, W, Renv = inputs
+        A = norm_p(jnp.einsum("pab,pbsc->pasc", Rm, A))
+        E0, A_opt = solve_p(Lenv, W, Renv, A)
+        Q, Rm_new, Lenv_new = jax.vmap(
+            lambda l, a: D._gauge_env_left(l, W, a, qr_impl, "xla",
+                                           interpret))(Lenv, A_opt)
+        return (Lenv_new, Rm_new), (Q, Lenv, E0)
+
+    (_, Rm_last), (As1, Lenvs, Es_lr) = jax.lax.scan(
+        body_lr, (L0, eye_p), (As_s, Ws, Renvs_s))
+
+    R0 = jnp.broadcast_to(D._boundary_right(chi, vR)[None],
+                          (P, chi, Ws.shape[1], chi))
+
+    def body_rl(carry, inputs):
+        Renv, Lm = carry
+        A, W, Lenv = inputs
+        A = norm_p(jnp.einsum("pasb,pbc->pasc", A, Lm))
+        E0, A_opt = solve_p(Lenv, W, Renv, A)
+        Q, Lm_new, Renv_new = jax.vmap(
+            lambda r, a: D._gauge_env_right(r, W, a, qr_impl, "xla",
+                                            interpret))(Renv, A_opt)
+        return (Renv_new, Lm_new), (Q, E0, Renv)
+
+    (_, Lm_last), (As2, Es_rl, Renvs_out) = jax.lax.scan(
+        body_rl, (R0, Rm_last), (As1, Ws, Lenvs), reverse=True)
+    As2 = As2.at[0].set(jnp.einsum("pab,pbsc->pasc", Lm_last, As2[0]))
+    # (N, P, ...) -> (P, N, ...)
+    return (jnp.swapaxes(As2, 0, 1), Es_rl[0],
+            jnp.swapaxes(Renvs_out, 0, 1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl",
+                     "interpret", "pair"))
+def _batched_paired_one_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
+                                 qr_impl, ritz_impl, interpret, pair,
+                                 renvs=None):
+    B, N = As_batch.shape[0], As_batch.shape[1]
+    As_pp = As_batch.reshape((B // pair, pair) + As_batch.shape[1:])
+    rv_pp = (None if renvs is None
+             else renvs.reshape((B // pair, pair) + renvs.shape[1:]))
+    fn = lambda As_p, rv: _paired_one_site_sweep(
+        As_p, Ws, vL, vR, num_krylov_vecs, qr_impl, ritz_impl,
+        interpret, renvs_p=rv)
+    # gauge/env precision is energy-critical: without forced-highest
+    # matmuls the NS-polar span corrupts to a +2.8 floor (measured —
+    # the same failure BASELINE.md's gauge precision A/B records)
+    with jax.default_matmul_precision("highest"):
+        if rv_pp is None:
+            As2, es, rvs = jax.vmap(lambda a: fn(a, None))(As_pp)
+        else:
+            As2, es, rvs = jax.vmap(fn)(As_pp, rv_pp)
+    from tensornetwork_tpu.models.dmrg import SweepResult
+    return SweepResult(
+        As2.reshape(As_batch.shape), es.reshape(B), es.reshape(B),
+        jnp.zeros((), As_batch.dtype),
+        rvs.reshape((B,) + rvs.shape[2:]))
+
+
+def batched_one_site_sweep_paired(As_batch, Ws, vL, vR,
+                                  num_krylov_vecs: int = 10,
+                                  qr_impl: str = "polar",
+                                  ritz_impl: str = "power",
+                                  pair: int = 2,
+                                  renvs=None):
+    """Batched one-site sweep with ``pair`` instances per fused-Lanczos
+    program (phased in-program issue; see :func:`_paired_one_site_sweep`).
+    Semantics identical to :func:`batched_one_site_sweep` with the
+    fused kernel, ``reorth=False``.  ``pair`` must divide the batch;
+    pair=2 is the measured sweet spot (2 and 4 tie, 8 fails to compile).
+    """
+    if As_batch.shape[0] % pair:
+        raise ValueError(
+            f"batch {As_batch.shape[0]} not divisible by pair={pair}")
+    interpret = jax.default_backend() != "tpu"
+    return _batched_paired_one_site_jit(
+        As_batch, Ws, vL, vR, num_krylov_vecs, qr_impl, ritz_impl,
+        interpret, pair, renvs)

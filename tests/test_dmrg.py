@@ -282,3 +282,32 @@ def test_two_site_dmrg_subspace_truncation(trunc_orth):
                              trunc_iters=6, trunc_orth=trunc_orth)
         As = res.As
     np.testing.assert_allclose(float(res.energy), exact, rtol=1e-7)
+
+
+def test_batched_paired_sweep_matches_standard():
+    # the paired sweep (pair instances per fused-Lanczos program) must
+    # reproduce the standard batched fused sweep exactly off-chip
+    from tensornetwork_tpu.parallel.batch import (
+        batched_one_site_sweep, batched_one_site_sweep_paired)
+    N, chi, B = 8, 10, 4
+    mpo = FiniteTFI(Jx=-1.0, Bz=-0.8, N=N, dtype=jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    As = jnp.stack([random_mps_stack(k, N, chi, 2, jnp.float32)
+                    for k in keys])
+    A1 = A2 = As
+    r1 = r2 = None
+    for _ in range(5):
+        res1 = batched_one_site_sweep(A1, mpo.Ws, mpo.vL, mpo.vR,
+                                      num_krylov_vecs=16,
+                                      lanczos_impl="fused", reorth=False,
+                                      renvs=r1)
+        A1, r1 = res1.As, res1.renvs
+        res2 = batched_one_site_sweep_paired(A2, mpo.Ws, mpo.vL, mpo.vR,
+                                             num_krylov_vecs=16, pair=2,
+                                             renvs=r2)
+        A2, r2 = res2.As, res2.renvs
+    np.testing.assert_allclose(np.asarray(res2.energy),
+                               np.asarray(res1.energy), atol=1e-6)
+    exact = exact_ground_energy(mpo)
+    np.testing.assert_allclose(np.asarray(res2.energy),
+                               np.full(B, exact), rtol=1e-5)
