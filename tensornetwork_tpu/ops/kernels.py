@@ -723,7 +723,7 @@ def fused_lanczos_ground_state_2s(L, W1, W2, R, x0, num_krylov_vecs: int,
                                   power_iters: int = 60,
                                   delta: float = 1e-8,
                                   interpret: bool = False,
-                                  precision=None):
+                                  precision=None, tile_b: int = 1):
     """Two-site variant of :func:`fused_lanczos_ground_state`.
 
     The whole-Lanczos kernel is generic in the number of physical tiles:
@@ -747,7 +747,8 @@ def fused_lanczos_ground_state_2s(L, W1, W2, R, x0, num_krylov_vecs: int,
     xt = x0.reshape(B, chi, nt, chi).transpose(0, 2, 1, 3)
     fl = make_fused_lanczos(chi, nt, M, m, delta=delta,
                             accum_dtype=accum,
-                            interpret=interpret, precision=precision)
+                            interpret=interpret, precision=precision,
+                            tile_b=tile_b)
     V, ab = fl(Lt, C.astype(accum), Rt, xt)
     alphas, betas = ab[:, 0, :], ab[:, 1, : m - 1]
     evals, weights = jax.vmap(

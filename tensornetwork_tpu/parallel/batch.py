@@ -160,6 +160,19 @@ def batched_two_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
         # breakdown transients that "qr"/"polar+qr" faithfully keep.
         trunc_orth = ("polar" if jax.default_backend() == "tpu"
                       else _dmrg.TRUNC_ORTH)
+    # Paired default route (see batched_one_site_sweep): 2 instances per
+    # fused two-site Lanczos program — 570 -> 631 inst-sweeps/s at an
+    # identical -1.1e-5 floor (B=256 chi=64 m=6, 2026-08-21).  pair=4
+    # overflows scoped VMEM (the nt=d^2 basis doubles the footprint).
+    if (jax.default_backend() == "tpu" and lanczos_impl == "fused"
+            and not reorth and trunc_impl == "subspace"
+            and trunc_orth == "polar" and trunc_polar_fast is None
+            and As_batch.shape[0] % 2 == 0):
+        return batched_two_site_sweep_paired(
+            As_batch, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
+            qr_impl=qr_impl, ritz_impl=ritz_impl,
+            trunc_iters=trunc_iters, trunc_orth=trunc_orth, pair=2,
+            renvs=renvs)
     return _batched_two_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
                                  qr_impl, ritz_impl, reorth, lanczos_impl,
                                  trunc_impl, trunc_iters, trunc_orth,
@@ -406,3 +419,144 @@ def batched_one_site_sweep_paired(As_batch, Ws, vL, vR,
     return _batched_paired_one_site_jit(
         As_batch, Ws, vL, vR, num_krylov_vecs, qr_impl, ritz_impl,
         interpret, pair, renvs)
+
+
+def _paired_two_site_sweep(As_p, Ws, vL, vR, num_krylov_vecs,
+                           qr_impl, ritz_impl, trunc_iters, trunc_orth,
+                           interpret, renvs_p=None):
+    """Two-site sweep over a stacked pair of instances (leading axis P)
+    with the fused two-site Lanczos kernel called on the pair
+    (``tile_b=P``) and the subspace truncation vmapped.  Mirrors
+    :func:`tensornetwork_tpu.models.dmrg._two_site_sweep_impl` with
+    ``trunc_impl="subspace"`` (the batched-TPU default)."""
+    from tensornetwork_tpu.ops import kernels
+    from tensornetwork_tpu.ops.decompositions import subspace_truncate
+    D = _dmrg
+    P, N, chi, d, _ = As_p.shape
+
+    if renvs_p is None:
+        As_p, Renvs_full = jax.vmap(
+            lambda A: D.right_canonicalize_and_envs(
+                A, Ws, vL, vR, qr_impl=qr_impl))(As_p)
+        step_renvs = jnp.swapaxes(Renvs_full[:, 1:], 0, 1)
+    else:
+        step_renvs = jnp.swapaxes(renvs_p, 0, 1)
+    As_s = jnp.swapaxes(As_p, 0, 1)                  # (N, P, ...)
+    M = Ws.shape[1]
+    L0 = jnp.broadcast_to(D._boundary_left(chi, vL)[None],
+                          (P, chi, M, chi))
+    real_dtype = jnp.zeros((), As_p.dtype).real.dtype
+
+    def norm_p(th):
+        n = jnp.sqrt(jnp.sum(th * th, axis=(1, 2, 3, 4), keepdims=True))
+        return th / jnp.where(n > 0, n, 1.0)
+
+    def trunc_p(th, q0):
+        return jax.vmap(lambda t, q: subspace_truncate(
+            t, chi, q0=q, iters=trunc_iters, orth=trunc_orth))(th, q0)
+
+    def body_lr(carry, inputs):
+        Lenv, pending, terr = carry
+        A_next, W1, W2, Renv = inputs
+        theta = norm_p(jnp.einsum("pasb,pbtc->pastc", pending, A_next))
+        E0, th_opt = kernels.fused_lanczos_ground_state_2s(
+            Lenv, W1, W2, Renv, theta,
+            num_krylov_vecs=num_krylov_vecs, ritz_method=ritz_impl,
+            interpret=interpret, precision=jax.lax.Precision.HIGHEST,
+            tile_b=P)
+        th = th_opt.reshape(P, chi * d, d * chi)
+        st = trunc_p(th, pending.reshape(P, chi * d, chi))
+        s_norm = jnp.sqrt(jnp.sum(st.rest * st.rest, axis=(1, 2),
+                                  keepdims=True))
+        U = st.q.reshape(P, chi, d, chi)
+        SV = (st.rest / jnp.where(s_norm > 0, s_norm, 1.0)
+              ).reshape(P, chi, d, chi)
+        Lenv_new = jax.vmap(
+            lambda l, u: D._update_left(l, u, W1))(Lenv, U)
+        terr = terr + st.trunc_sq_norm.astype(real_dtype)
+        return (Lenv_new, SV, terr), (U, Lenv, E0)
+
+    carry0 = (L0, As_s[0], jnp.zeros((P,), real_dtype))
+    (Lenv_f, last, terr_lr), (Us, Lenvs, Es_lr) = jax.lax.scan(
+        body_lr, carry0, (As_s[1:], Ws[:-1], Ws[1:], step_renvs))
+    As1 = jnp.concatenate([Us, last[None]], axis=0)
+
+    R0 = jnp.broadcast_to(D._boundary_right(chi, vR)[None],
+                          (P, chi, M, chi))
+
+    def body_rl(carry, inputs):
+        Renv, pending, terr = carry
+        A_prev, W1, W2, Lenv = inputs
+        theta = norm_p(jnp.einsum("pasb,pbtc->pastc", A_prev, pending))
+        E0, th_opt = kernels.fused_lanczos_ground_state_2s(
+            Lenv, W1, W2, Renv, theta,
+            num_krylov_vecs=num_krylov_vecs, ritz_method=ritz_impl,
+            interpret=interpret, precision=jax.lax.Precision.HIGHEST,
+            tile_b=P)
+        th = th_opt.reshape(P, chi * d, d * chi)
+        tht = jnp.swapaxes(th, 1, 2)
+        st = trunc_p(tht, jnp.swapaxes(
+            pending.reshape(P, chi, d * chi), 1, 2))
+        s_norm = jnp.sqrt(jnp.sum(st.rest * st.rest, axis=(1, 2),
+                                  keepdims=True))
+        US = jnp.swapaxes(st.rest / jnp.where(s_norm > 0, s_norm, 1.0),
+                          1, 2).reshape(P, chi, d, chi)
+        V = jnp.swapaxes(st.q, 1, 2).reshape(P, chi, d, chi)
+        Renv_new = jax.vmap(
+            lambda r, v: D._update_right(r, v, W2))(Renv, V)
+        terr = terr + st.trunc_sq_norm.astype(real_dtype)
+        return (Renv_new, US, terr), (V, E0, Renv)
+
+    carry0 = (R0, As1[-1], terr_lr)
+    (_, first, terr), (Vs, Es_rl, Renvs_out) = jax.lax.scan(
+        body_rl, carry0, (As1[:-1], Ws[:-1], Ws[1:], Lenvs),
+        reverse=True)
+    As2 = jnp.concatenate([first[None], Vs], axis=0)
+    return (jnp.swapaxes(As2, 0, 1), Es_rl[0], terr,
+            jnp.swapaxes(Renvs_out, 0, 1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_krylov_vecs", "qr_impl", "ritz_impl",
+                     "trunc_iters", "trunc_orth", "interpret", "pair"))
+def _batched_paired_two_site_jit(As_batch, Ws, vL, vR, num_krylov_vecs,
+                                 qr_impl, ritz_impl, trunc_iters,
+                                 trunc_orth, interpret, pair,
+                                 renvs=None):
+    B = As_batch.shape[0]
+    As_pp = As_batch.reshape((B // pair, pair) + As_batch.shape[1:])
+    rv_pp = (None if renvs is None
+             else renvs.reshape((B // pair, pair) + renvs.shape[1:]))
+    fn = lambda As_p, rv: _paired_two_site_sweep(
+        As_p, Ws, vL, vR, num_krylov_vecs, qr_impl, ritz_impl,
+        trunc_iters, trunc_orth, interpret, renvs_p=rv)
+    with jax.default_matmul_precision("highest"):
+        if rv_pp is None:
+            As2, es, terr, rvs = jax.vmap(lambda a: fn(a, None))(As_pp)
+        else:
+            As2, es, terr, rvs = jax.vmap(fn)(As_pp, rv_pp)
+    from tensornetwork_tpu.models.dmrg import SweepResult
+    return SweepResult(
+        As2.reshape(As_batch.shape), es.reshape(B), es.reshape(B),
+        terr.reshape(B), rvs.reshape((B,) + rvs.shape[2:]))
+
+
+def batched_two_site_sweep_paired(As_batch, Ws, vL, vR,
+                                  num_krylov_vecs: int = 10,
+                                  qr_impl: str = "polar",
+                                  ritz_impl: str = "power",
+                                  trunc_iters: int = 2,
+                                  trunc_orth: str = "polar",
+                                  pair: int = 2,
+                                  renvs=None):
+    """Two-site batched sweep with ``pair`` instances per fused-Lanczos
+    program (see :func:`batched_one_site_sweep_paired`); subspace/polar
+    truncation only (the batched-TPU default)."""
+    if As_batch.shape[0] % pair:
+        raise ValueError(
+            f"batch {As_batch.shape[0]} not divisible by pair={pair}")
+    interpret = jax.default_backend() != "tpu"
+    return _batched_paired_two_site_jit(
+        As_batch, Ws, vL, vR, num_krylov_vecs, qr_impl, ritz_impl,
+        trunc_iters, trunc_orth, interpret, pair, renvs)

@@ -311,3 +311,34 @@ def test_batched_paired_sweep_matches_standard():
     exact = exact_ground_energy(mpo)
     np.testing.assert_allclose(np.asarray(res2.energy),
                                np.full(B, exact), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_batched_paired_two_site_matches_standard():
+    # interpret-mode two-site paired kernels are expensive on CPU (the
+    # nt=d^2 tile count); slow-marked, the one-site paired equivalence
+    # runs in the default suite
+    from tensornetwork_tpu.parallel.batch import (
+        batched_two_site_sweep, batched_two_site_sweep_paired)
+    N, chi, B = 8, 8, 4
+    mpo = FiniteTFI(Jx=-1.0, Bz=-0.7, N=N, dtype=jnp.float32)
+    exact = exact_ground_energy(mpo)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    As = jnp.stack([random_mps_stack(k, N, chi, 2, jnp.float32)
+                    for k in keys])
+    A1 = A2 = As
+    r1 = r2 = None
+    for _ in range(6):
+        res1 = batched_two_site_sweep(
+            A1, mpo.Ws, mpo.vL, mpo.vR, num_krylov_vecs=16,
+            lanczos_impl="fused", trunc_impl="subspace", trunc_iters=2,
+            trunc_orth="polar", renvs=r1)
+        A1, r1 = res1.As, res1.renvs
+        res2 = batched_two_site_sweep_paired(
+            A2, mpo.Ws, mpo.vL, mpo.vR, num_krylov_vecs=16, pair=2,
+            renvs=r2)
+        A2, r2 = res2.As, res2.renvs
+    np.testing.assert_allclose(np.asarray(res2.energy),
+                               np.asarray(res1.energy), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res2.energy),
+                               np.full(B, exact), rtol=1e-5)
