@@ -172,8 +172,12 @@ def main():
         psi = SC(As_q, jnp.zeros_like(As_q))
         psi = batched_tdvp_one_site_sweep_sc(psi, mpo.Ws, mpo.vL, mpo.vR,
                                              dt=0.05, num_krylov_vecs=m)
-        jax.block_until_ready(psi.re)
-        k = 3
+        # two warm sweeps + device_get: a single bare-block warm-up has
+        # produced a 4x-slow reading once (recompile/tunnel artifact)
+        psi = batched_tdvp_one_site_sweep_sc(psi, mpo.Ws, mpo.vL, mpo.vR,
+                                             dt=0.05, num_krylov_vecs=m)
+        _ = float(jnp.sum(jnp.abs(psi.re[0, 0])))
+        k = 5
         t0 = time.perf_counter()
         for _ in range(k):
             psi = batched_tdvp_one_site_sweep_sc(
