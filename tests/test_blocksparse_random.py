@@ -34,9 +34,10 @@ KINDS = ["u1", "z2", "z3", "u1xz2"]
 
 
 @pytest.mark.parametrize("kind", KINDS)
-@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
 @pytest.mark.parametrize("r1,r2,nc", [(2, 2, 1), (3, 2, 1), (3, 3, 2),
-                                      (4, 3, 2), (2, 3, 2)])
+                                      (4, 3, 2), (2, 3, 2), (4, 4, 3),
+                                      (3, 3, 1)])
 def test_tensordot_random_vs_dense(kind, seed, r1, r2, nc):
     # contract the last nc legs of t1 with the first nc of t2, with
     # matching (dual) charges on the contracted pairs
