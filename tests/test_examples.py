@@ -95,3 +95,14 @@ def test_disorder_study_example():
     es = mod.main(N=6, chi=10, B=3, num_sweeps=3, verbose=0)
     assert es.shape == (3,)
     assert np.all(np.isfinite(es))
+
+
+@pytest.mark.slow
+def test_distributed_symmetric_dmrg_example(tmp_path):
+    # EP showcase example: single-device vs sector-sharded energies
+    # agree on the virtual mesh; export/load round-trips
+    import importlib
+    mod = importlib.import_module("examples.distributed_symmetric_dmrg")
+    es = mod.main(N=6, chi=10, B=2, sweeps=2,
+                  export_dir=str(tmp_path))
+    assert np.all(np.isfinite(es))
