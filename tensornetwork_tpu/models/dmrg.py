@@ -196,7 +196,8 @@ def _local_solve_1s(Lenv: Array, W: Array, Renv: Array, A: Array,
         vmem_2pass = 4 * chi * chi * (2 * M + 6 * d)
         # Tier 3 — streamed: chi chunked over a third grid axis, L
         # streamed in, basis streamed OUT to HBM (VERDICT r2 item 1);
-        # fits chi=512 at K=4 with 1x matvecs.
+        # chi=512 needs K=8 (the K=4 plan fails Mosaic VMEM on chip —
+        # streamed_chunk_count's 14 MB budget encodes that boundary).
         n_chunks = kernels.streamed_chunk_count(chi, d, M)
         if vmem_bytes <= 12 * 2**20 or vmem_2pass <= 12 * 2**20:
             ev, evec = kernels.fused_lanczos_ground_state(

@@ -63,7 +63,12 @@ def lanczos_factorization(
     def body(j, carry):
         V, alphas, betas, alive = carry
         vj = V[j]
-        w = matvec(vj)
+        # Cast to the carry dtype: a matvec that promotes (e.g. f32 state
+        # against an f64 MPO) would otherwise scatter f64 into the f32
+        # carry — a FutureWarning today, a hard error in future JAX, and a
+        # silent downcast of the chain either way.  Keep the carry dtype
+        # authoritative.
+        w = matvec(vj).astype(V.dtype)
         alpha = jnp.vdot(vj, w)
         w = w - alpha * vj
         w = w - jnp.where(j > 0, 1.0, 0.0) * (
@@ -540,13 +545,26 @@ def _ritz_last_components(Hm: jax.Array, lam_re: jax.Array,
     def one(lr, li):
         A = jnp.block([[Hm - (lr + shift_eps) * I_m, li * I_m],
                        [-li * I_m, Hm - (lr + shift_eps) * I_m]])
-        b = jnp.ones((2 * m,), dtype) / jnp.sqrt(2.0 * m)
+        # Deterministic index-dependent start vector: a uniform start can
+        # be near-orthogonal to sign-alternating eigenvectors, which would
+        # underestimate |e_m^T y| and let the restart converge early.
+        idx = jnp.arange(2 * m).astype(dtype)
+        b = 1.0 + 0.5 * jnp.sin(2.399963 * idx + 0.7)
+        b = b / jnp.linalg.norm(b)
         y = jnp.linalg.solve(A, b)
         yn = jnp.linalg.norm(y)
         y = y / jnp.where(yn > 0, yn, 1.0)
         y = jnp.linalg.solve(A, y)
-        yn = jnp.linalg.norm(y)
-        y = y / jnp.where(yn > 0, yn, 1.0)
+        yn2 = jnp.linalg.norm(y)
+        y = y / jnp.where(yn2 > 0, yn2, 1.0)
+        # A healthy inverse-iteration step amplifies by ~1/shift_eps; weak
+        # second-step amplification means the start was nearly orthogonal
+        # to the target (or the cluster is tighter than the shift) — take
+        # one more step before trusting the last component.
+        y3 = jnp.linalg.solve(A, y)
+        yn3 = jnp.linalg.norm(y3)
+        y3 = y3 / jnp.where(yn3 > 0, yn3, 1.0)
+        y = jnp.where(yn2 < 0.1 / shift_eps, y3, y)
         last = jnp.sqrt(y[m - 1] ** 2 + y[2 * m - 1] ** 2)
         # a singular solve (exactly-converged eigenpair) yields nan/inf:
         # the residual there is genuinely ~0, so report 0
@@ -925,6 +943,9 @@ def lanczos_factorization_sc(
         V, alphas, betas, alive = carry
         vj = sc.SC(V.re[j], V.im[j])
         w = matvec(vj)
+        # same carry-dtype cast as the real factorization (mixed-dtype
+        # scatter guard)
+        w = sc.SC(w.re.astype(V.re.dtype), w.im.astype(V.im.dtype))
         alpha = jnp.real(0.0) + (vj.re @ w.re + vj.im @ w.im)  # Re<vj|w>
         w = sc.SC(w.re - alpha * vj.re, w.im - alpha * vj.im)
         bprev = betas[jnp.maximum(j - 1, 0)] * jnp.where(j > 0, 1.0, 0.0)

@@ -29,11 +29,21 @@ def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
                            matvec_prec=None,
                            lanczos_impl=None,
                            epilogue_impl=None,
-                           renvs=None):
+                           renvs=None,
+                           paired: Optional[bool] = None):
     """One-site DMRG sweep over a batch of MPS instances.
 
     ``As_batch``: (B, N, chi, d, chi); MPO shared across the batch.
     Returns a batched :class:`~tensornetwork_tpu.models.dmrg.SweepResult`.
+
+    ``paired`` selects the paired-kernel route (4 instances per fused
+    Pallas program, phased issue — the fastest measured route on TPU):
+    ``None`` auto-routes to it on TPU when the default knob combination
+    allows and ``B % 4 == 0`` (so adjacent batch sizes such as 252 vs
+    256 can run different — floor-equivalent at the measured shapes —
+    kernels; pass an explicit value for apples-to-apples comparisons
+    across batch sizes), ``True`` forces it (raises if ``B % 4``),
+    ``False`` pins the unpaired vmap route.
 
     Unlike the single-instance sweep, the *batched* default is the
     matmul-only pipeline (``qr_impl="polar"``, ``ritz_impl="power"``):
@@ -65,9 +75,16 @@ def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
     # (B=256 chi=64 m=10, 2026-08-21): 678 -> 837 inst-sweeps/s at an
     # identical +2.3e-5 floor.  Engages only for the default knob
     # combination the paired path implements.
-    if (jax.default_backend() == "tpu" and lanczos_impl == "fused"
-            and not reorth and matvec_prec is None
-            and epilogue_impl == "xla" and As_batch.shape[0] % 4 == 0):
+    route_ok = (jax.default_backend() == "tpu" and lanczos_impl == "fused"
+                and not reorth and matvec_prec is None
+                and epilogue_impl == "xla")
+    if paired is True and not route_ok:
+        raise ValueError(
+            "paired=True requires the TPU fused-kernel default route "
+            "(lanczos_impl='fused', reorth=False, matvec_prec=None, "
+            "epilogue_impl='xla')")
+    if paired is True or (paired is None and route_ok
+                          and As_batch.shape[0] % 4 == 0):
         return batched_one_site_sweep_paired(
             As_batch, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
             qr_impl=qr_impl, ritz_impl=ritz_impl, pair=4, renvs=renvs)
@@ -409,8 +426,12 @@ def batched_one_site_sweep_paired(As_batch, Ws, vL, vR,
     """Batched one-site sweep with ``pair`` instances per fused-Lanczos
     program (phased in-program issue; see :func:`_paired_one_site_sweep`).
     Semantics identical to :func:`batched_one_site_sweep` with the
-    fused kernel, ``reorth=False``.  ``pair`` must divide the batch;
-    pair=2 is the measured sweet spot (2 and 4 tie, 8 fails to compile).
+    fused kernel, ``reorth=False``.  ``pair`` must divide the batch.
+    For ONE-SITE, pair=4 is the measured sweet spot (678 -> 837
+    inst-sweeps/s at B=256 chi=64; tile_b >= 8 fails Mosaic compile) and
+    is what the auto-route passes; the pair=2 default here is the
+    conservative choice that also matches the TWO-SITE sweet spot
+    (pair=4 VMEM-OOMs there).
     """
     if As_batch.shape[0] % pair:
         raise ValueError(
