@@ -53,6 +53,10 @@ from tensornetwork_tpu.blocksparse.tensor import (
 from tensornetwork_tpu.blocksparse import jax_engine as _engine
 from tensornetwork_tpu.blocksparse import linalg as _linalg
 
+#: bytes moved device->host by the last ``truncated_svd_distributed``
+#: ``output="bst"`` call (kept triplets + discarded spectrum tail only)
+last_bst_transfer_bytes: Optional[int] = None
+
 
 def tensordot_sharded(
     t1: BlockSparseTensor,
@@ -176,9 +180,14 @@ def truncated_svd_distributed(
     the static-shape form for in-jit consumers.
     ``output="bst"``: additionally assembles ragged BlockSparseTensor
     factors ``(U, S, V, s_rest)`` with semantics identical to
-    :func:`tensornetwork_tpu.blocksparse.linalg.truncated_svd`; the
-    ragged (data-dependent) bond requires one host transfer of the kept
-    blocks — inherent to the dynamic-shape API.
+    :func:`tensornetwork_tpu.blocksparse.linalg.truncated_svd`.  The
+    ragged (data-dependent) bond requires one host transfer — but only
+    of the KEPT singular triplets: the kept (sector, column) pairs are
+    compacted ON DEVICE (stable argsort of the kept mask + gather), so
+    the transfer is ``keep * (Rm + Cm + 1)`` elements ≈ kept nnz (padded
+    only by the block-dimension spread), not the full padded
+    ``u_all``/``vh_all`` stacks.  The transferred byte count of the last
+    call is recorded in :data:`last_bst_transfer_bytes`.
     """
     ndev = mesh.shape[axis_name]
     p, common, maps, shapes, blocks = _linalg._get_blocks(matrix)
@@ -238,25 +247,47 @@ def truncated_svd_distributed(
     if output == "masked":
         return u_all, s_all, vh_all, kept
 
-    # ragged BST assembly (one host transfer of the kept blocks)
-    kept_h = np.asarray(jax.device_get(kept))[:G]
-    spectrum = np.asarray(jax.device_get(s_all))[:G]
+    # Ragged BST assembly.  Compact the kept (sector, column) pairs on
+    # device first — a stable argsort of the kept mask lists kept pairs
+    # in (sector-major, ascending-column) order, exactly the order the
+    # per-block mask selection used to produce — then gather just those
+    # k_cap singular triplets.  The host transfer is ~kept nnz, not the
+    # full padded (G_pad, Rm, Cm) factor stacks.
+    @jax.jit
+    def compact(u_a, s_a, vh_a, kept_d):
+        flat_kept = kept_d.reshape(-1)
+        sel = jnp.argsort(~flat_kept, stable=True)[:k_cap]
+        g_idx = (sel // kmax).astype(jnp.int32)
+        c_idx = (sel % kmax).astype(jnp.int32)
+        u_cols = u_a[g_idx, :, c_idx]        # (k_cap, Rm)
+        vh_rows = vh_a[g_idx, c_idx, :]      # (k_cap, Cm)
+        s_vals = s_a[g_idx, c_idx]           # (k_cap,)
+        return u_cols, s_vals, vh_rows, g_idx
+
+    with mesh:
+        u_cols, s_vals, vh_rows, g_idx = compact(u_all, s_all, vh_all,
+                                                 kept)
     keep_n = int(jax.device_get(keep))
+    u_cols = np.asarray(jax.device_get(u_cols))[:keep_n]
+    s_vals = np.asarray(jax.device_get(s_vals))[:keep_n]
+    vh_rows = np.asarray(jax.device_get(vh_rows))[:keep_n]
+    g_idx = np.asarray(jax.device_get(g_idx))[:keep_n]
     # discarded VALID values: sorted_s positions [keep, valid_total)
     # (padded slots rank strictly after every valid entry)
     s_rest = np.asarray(jax.device_get(sorted_s))[keep_n:int(valid.sum())]
-    u_h = np.asarray(jax.device_get(u_all))[:G]
-    vh_h = np.asarray(jax.device_get(vh_all))[:G]
+    global last_bst_transfer_bytes
+    last_bst_transfer_bytes = (u_cols.nbytes + s_vals.nbytes
+                               + vh_rows.nbytes + g_idx.nbytes
+                               + s_rest.nbytes)
     new_us, new_ss, new_vs, ks = [], [], [], []
     for g in range(G):
-        nv = int(nvals[g])
-        m = kept_h[g][:nv]
+        m = g_idx == g
         k = int(np.sum(m))
         ks.append(k)
         r, c = blocks[g].shape
-        new_us.append(u_h[g][:r, :nv][:, m])
-        new_ss.append(spectrum[g][:nv][m])
-        new_vs.append(vh_h[g][:nv, :c][m, :])
+        new_us.append(u_cols[m][:, :r].T)
+        new_ss.append(s_vals[m])
+        new_vs.append(vh_rows[m][:, :c])
     bond_charges, _ = _linalg._bond_index(common, ks, True)
     from tensornetwork_tpu.blocksparse.tensor import ChargeArray
     S = ChargeArray(np.concatenate(new_ss) if new_ss else np.zeros(0),

@@ -132,6 +132,34 @@ def test_truncated_svd_distributed_masked_output(rng, mesh):
     assert int(np.asarray(kept).sum()) == 5
 
 
+def test_truncated_svd_distributed_bst_transfer_is_kept_sized(rng, mesh):
+    """The ragged-BST path must transfer ~kept nnz, not the full padded
+    factor stacks (VERDICT r3 item 3)."""
+    from tensornetwork_tpu.blocksparse import distributed as dist
+    c1, c2 = _rand_u1(rng, 40), _rand_u1(rng, 36)
+    m = randn([Index(c1, False), Index(c2, True)], seed=9)
+    k = 4
+    U, S, V, s_rest = truncated_svd_distributed(m, mesh,
+                                                max_singular_values=k)
+    assert dist.last_bst_transfer_bytes is not None
+    from tensornetwork_tpu.blocksparse.linalg import _get_blocks
+    p, common, maps, shapes, blocks = _get_blocks(m)
+    Rm = max(b.shape[0] for b in blocks)
+    Cm = max(b.shape[1] for b in blocks)
+    itemsize = np.dtype(m.dtype).itemsize
+    # kept triplets (k rows/cols at padded block dims) + index + tail —
+    # far below the full padded stacks the old path transferred
+    full_stacks = 2 * len(blocks) * Rm * Cm * itemsize
+    budget = k * (Rm + Cm + 1) * itemsize + k * 4 + s_rest.nbytes + 256
+    assert dist.last_bst_transfer_bytes <= budget
+    assert dist.last_bst_transfer_bytes < full_stacks / 4
+    # and the result still matches the single-device oracle
+    U0, S0, V0, s_rest0 = truncated_svd(m, max_singular_values=k)
+    np.testing.assert_allclose(np.sort(S.data)[::-1],
+                               np.sort(S0.data)[::-1], atol=1e-10)
+    np.testing.assert_allclose(s_rest, s_rest0, atol=1e-10)
+
+
 def test_ep_symmetric_dmrg_one_site_matches_single_device(mesh):
     # VERDICT r2 item 2 "Done" criterion: a distributed symmetric sweep
     # on the virtual mesh matches the single-device BatchedSymmetricDMRG
