@@ -40,18 +40,18 @@ def main():
     for chi in (64, 128):
         state = V.random_vumps_state(jax.random.PRNGKey(0), chi, 2, dtype)
         t0 = time.perf_counter()
-        state, e, err, LW, RW = V.vumps_iteration(state, W, lams)
+        state, e, err, LW, RW, _ = V.vumps_iteration(state, W, lams)
         jax.block_until_ready(state.AC)
         compile_s = time.perf_counter() - t0
         # converge first so the timed iterations are steady-state
         for it in range(30):
-            state, e, err, LW, RW = V.vumps_iteration(state, W, lams)
+            state, e, err, LW, RW, _ = V.vumps_iteration(state, W, lams)
         jax.block_until_ready(state.AC)
         k = 10
         # honest timing anchor: e depends on the whole chained iteration
         with bracket(lambda: e) as b:
             for _ in range(k):
-                state, e, err, LW, RW = V.vumps_iteration(state, W, lams)
+                state, e, err, LW, RW, _ = V.vumps_iteration(state, W, lams)
         e, err = float(e), float(err)
         rate = k / b.seconds
         log(f"chi={chi}: {rate:.1f} iterations/s (compile {compile_s:.0f}s), "

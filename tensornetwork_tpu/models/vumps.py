@@ -65,28 +65,52 @@ def _transfer_right(x: Array, A: Array) -> Array:
     return jnp.einsum("atr,ctp,rp->ac", A, jnp.conj(A), x, optimize="auto")
 
 
-def _fixed_point_right(AL: Array, r0: Array, n_iter: int) -> Array:
-    """Right fixed point of T_AL by power iteration seeded with ``r0``
-    (= C·C†, exact at the VUMPS fixed point, so few steps suffice)."""
+def _fixed_point_right(AL: Array, r0: Array, n_iter: int,
+                       gmres_m: int = 30, gmres_restarts: int = 2,
+                       rtol=1e-7) -> Array:
+    """Right fixed point of T_AL (eigenvalue exactly 1: AL is
+    left-isometric) via the DEFLATED linear system
+    ``(1 - T + q·tr(·)) x = q`` with ``q = I/chi`` — GMRES-accelerated,
+    warm-started with ``r0``.  Power iteration (the r1-r3 approach)
+    contracts only like the transfer gap per step, and its leftover
+    O(gauge-err) error made the downstream H_AC sandwich slightly
+    non-Hermitian, stalling the Lanczos solves — and therefore the whole
+    VUMPS gauge error — at the fixed-point error level (measured: the
+    critical-TFI oscillation around 1e-4).  ``n_iter`` power steps
+    polish/precondition the seed first (cheap; also keeps the guess PSD)."""
     def body(r, _):
         r = _transfer_right(r, AL)
-        r = 0.5 * (r + jnp.conj(r.T))          # keep Hermitian
+        r = 0.5 * (r + jnp.conj(r.T))
         tr = jnp.trace(r)
         return r / jnp.where(jnp.abs(tr) > 0, tr, 1.0), None
-    r, _ = jax.lax.scan(body, r0, None, length=n_iter)
-    return r
+    r0, _ = jax.lax.scan(body, r0, None, length=min(n_iter, 5))
+    chi = AL.shape[0]
+    q = jnp.eye(chi, dtype=AL.dtype) / chi
+    op = lambda x: x - _transfer_right(x, AL) + jnp.trace(x) * q
+    r = _gmres_static(op, q, r0, gmres_m, gmres_restarts, rtol)
+    r = 0.5 * (r + jnp.conj(r.T))
+    tr = jnp.trace(r)
+    return r / jnp.where(jnp.abs(tr) > 0, tr, 1.0)
 
 
-def _fixed_point_left(AR: Array, l0: Array, n_iter: int) -> Array:
-    """Left fixed point of T_AR by power iteration seeded with ``l0``
-    (= Cᵀ·conj(C), exact at the fixed point)."""
+def _fixed_point_left(AR: Array, l0: Array, n_iter: int,
+                      gmres_m: int = 30, gmres_restarts: int = 2,
+                      rtol=1e-7) -> Array:
+    """Left fixed point of T_AR — deflated-GMRES solve, as
+    :func:`_fixed_point_right`."""
     def body(l, _):
         l = _transfer_left(l, AR)
         l = 0.5 * (l + jnp.conj(l.T))
         tr = jnp.trace(l)
         return l / jnp.where(jnp.abs(tr) > 0, tr, 1.0), None
-    l, _ = jax.lax.scan(body, l0, None, length=n_iter)
-    return l
+    l0, _ = jax.lax.scan(body, l0, None, length=min(n_iter, 5))
+    chi = AR.shape[0]
+    q = jnp.eye(chi, dtype=AR.dtype) / chi
+    op = lambda x: x - _transfer_left(x, AR) + jnp.trace(x) * q
+    l = _gmres_static(op, q, l0, gmres_m, gmres_restarts, rtol)
+    l = 0.5 * (l + jnp.conj(l.T))
+    tr = jnp.trace(l)
+    return l / jnp.where(jnp.abs(tr) > 0, tr, 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -94,17 +118,20 @@ def _fixed_point_left(AR: Array, l0: Array, n_iter: int) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def _gmres_static(op, b: Array, x0: Array, m: int, restarts: int) -> Array:
+def _gmres_static(op, b: Array, x0: Array, m: int, restarts: int,
+                  rtol=1e-7) -> Array:
     """Restarted GMRES(m) with static counts — usable inside jit.
 
-    ``op`` maps (chi, chi) -> (chi, chi)."""
+    ``op`` maps (chi, chi) -> (chi, chi).  ``rtol`` may be a traced
+    scalar — the deep-convergence VUMPS loop tightens it with the gauge
+    error (a fixed 1e-7 caps the achievable gauge error at ~1e-7)."""
     shape = b.shape
     mv = lambda v: op(v.reshape(shape)).reshape(-1)
     bf = b.reshape(-1)
     # Givens-rotation GMRES core (jit-safe; converged restarts exit early
     # inside the compiled while_loop instead of running all `restarts`)
     x, _ = krylov.gmres_kernel(mv, bf, x0.reshape(-1), m, restarts,
-                               1e-7 * jnp.linalg.norm(bf))
+                               rtol * jnp.linalg.norm(bf))
     return x.reshape(shape)
 
 
@@ -147,7 +174,8 @@ def mpo_diagonal_coefficients(W) -> Tuple[float, ...]:
 
 def left_mpo_environment(AL: Array, W: Array, r: Array, lams,
                          LW0_guess: Array, gmres_m: int,
-                         gmres_restarts: int) -> Tuple[Array, Array]:
+                         gmres_restarts: int, rtol=1e-7
+                         ) -> Tuple[Array, Array]:
     """Solve the stacked left environment LW (chi, M, chi) and the energy
     density.  ``r``: right fixed point of T_AL, trace-normalized.
 
@@ -175,20 +203,22 @@ def left_mpo_environment(AL: Array, W: Array, r: Array, lams,
             b = Y - e * eye
             op = lambda x: (x - _transfer_left(x, AL)
                             + jnp.einsum("ac,ac->", x, r) * eye)
-            Ls[0] = _gmres_static(op, b, LW0_guess, gmres_m, gmres_restarts)
+            Ls[0] = _gmres_static(op, b, LW0_guess, gmres_m,
+                                  gmres_restarts, rtol)
             energy = e
         elif lam == 0.0:
             Ls[v] = Y
         else:
             op = lambda x, _lam=lam: x - _lam * _transfer_left(x, AL)
-            Ls[v] = _gmres_static(op, Y, Y, gmres_m, gmres_restarts)
+            Ls[v] = _gmres_static(op, Y, Y, gmres_m, gmres_restarts, rtol)
     LW = jnp.stack(Ls).transpose(1, 0, 2)   # (chi, M, chi): [ket, w, bra]
     return LW, energy
 
 
 def right_mpo_environment(AR: Array, W: Array, l: Array, lams,
                           RWlast_guess: Array, gmres_m: int,
-                          gmres_restarts: int) -> Tuple[Array, Array]:
+                          gmres_restarts: int, rtol=1e-7
+                          ) -> Tuple[Array, Array]:
     """Solve the stacked right environment RW (chi, M, chi) and the energy
     density from the right.  ``l``: left fixed point of T_AR."""
     chi = AR.shape[0]
@@ -210,13 +240,13 @@ def right_mpo_environment(AR: Array, W: Array, l: Array, lams,
             op = lambda x: (x - _transfer_right(x, AR)
                             + jnp.einsum("ac,ac->", l, x) * eye)
             Rs[w] = _gmres_static(op, b, RWlast_guess, gmres_m,
-                                  gmres_restarts)
+                                  gmres_restarts, rtol)
             energy = e
         elif lam == 0.0:
             Rs[w] = Y
         else:
             op = lambda x, _lam=lam: x - _lam * _transfer_right(x, AR)
-            Rs[w] = _gmres_static(op, Y, Y, gmres_m, gmres_restarts)
+            Rs[w] = _gmres_static(op, Y, Y, gmres_m, gmres_restarts, rtol)
     RW = jnp.stack(Rs).transpose(1, 0, 2)   # (chi, M, chi): [ket, v, bra]
     return RW, energy
 
@@ -235,45 +265,117 @@ def _matvec_C(LW: Array, RW: Array, x: Array) -> Array:
     return jnp.einsum("awc,ab,bwd->cd", LW, x, RW, optimize="auto")
 
 
-def _solve_AC(LW, W, RW, AC, m, lanczos_impl, interpret):
+def _restarted_ritz_to_tol(one_pass, mv, v0, max_restarts, solve_tol):
+    """Repeat ``one_pass`` (an m-step ground-state solve seeded with the
+    current best vector) until the Ritz residual ``||H v - <v|H|v> v||``
+    drops below ``solve_tol`` (a traced scalar) or ``max_restarts``
+    passes ran.  The residual check costs one extra matvec per pass and
+    runs BEFORE the first pass — at late VUMPS iterations the warm start
+    already meets the target and the solve is one matvec.
+
+    This adaptivity is what makes VUMPS contract at criticality: the AC
+    and C updates must be solved CONSISTENTLY (residual well below the
+    current gauge error), else the two Ritz vectors rotate independently
+    inside the near-degenerate low cluster of H_AC/H_C and the gauge
+    error ||AC - AL·C|| spikes instead of contracting (measured: chi=64
+    critical TFI oscillates at 1e-4..1e-3 with any FIXED restart count;
+    converges monotonically with the residual-targeted loop)."""
+    def cond(carry):
+        v, i = carry
+        Hv = mv(v)
+        lam = jnp.vdot(v, Hv)
+        res = jnp.linalg.norm(Hv - lam * v)
+        return jnp.logical_and(i < max_restarts, res > solve_tol)
+
+    def body(carry):
+        v, i = carry
+        v = one_pass(v)
+        return v / jnp.linalg.norm(v), i + 1
+
+    v0 = v0 / jnp.linalg.norm(v0)
+    v, _ = jax.lax.while_loop(cond, body, (v0, jnp.asarray(0)))
+    return v
+
+
+def _solve_AC(LW, W, RW, AC, m, lanczos_impl, interpret, restarts=1,
+              solve_tol=None):
     """Smallest Ritz vector of the AC effective Hamiltonian; fused
     Pallas whole-Lanczos kernel on TPU (same sandwich as the DMRG
-    H_eff), XLA Lanczos otherwise."""
+    H_eff), XLA Lanczos otherwise.  ``restarts`` bounds the number of
+    m-step passes; with ``solve_tol`` (traced scalar) the passes stop
+    early once the Ritz residual meets it (see
+    :func:`_restarted_ritz_to_tol`)."""
+    mv = lambda x: _matvec_AC(LW, W, RW, x)
+    use_fused = False
     if lanczos_impl == "fused":
         chi, d = AC.shape[0], AC.shape[1]
         M = W.shape[0]
         vmem = 4 * chi * chi * (2 * M + d * (m + 4))
-        if vmem <= 12 * 2**20:
-            from tensornetwork_tpu.ops import kernels
+        use_fused = vmem <= 12 * 2**20
+    if use_fused:
+        from tensornetwork_tpu.ops import kernels
+
+        def one_pass(v):
+            # eigh Ritz, NOT the batched-DMRG "power" shortcut: the
+            # 2x2-step power-Ritz residual is too loose for the
+            # residual-targeted VUMPS solves and the gauge error
+            # oscillates at 1e-3 (measured on chip, chi=64 critical);
+            # a single m x m eigh per solve is cheap at batch 1.
             _, evec = kernels.fused_lanczos_ground_state(
-                LW[None], W, RW[None], AC[None], num_krylov_vecs=m,
-                ritz_method="power", interpret=interpret,
+                LW[None], W, RW[None], v[None], num_krylov_vecs=m,
+                ritz_method="eigh", interpret=interpret,
                 precision=jax.lax.Precision.HIGHEST)
             return evec[0]
-    mv = lambda x: _matvec_AC(LW, W, RW, x)
-    _, vec = krylov.eigsh_lanczos(mv, AC, num_krylov_vecs=m, numeig=1)
-    return vec[0]
+    else:
+        def one_pass(v):
+            _, vec = krylov.eigsh_lanczos(mv, v, num_krylov_vecs=m,
+                                          numeig=1)
+            return vec[0]
+    if solve_tol is None:
+        v = AC / jnp.linalg.norm(AC)
+        for _ in range(restarts):
+            v = one_pass(v)
+            v = v / jnp.linalg.norm(v)
+        return v
+    return _restarted_ritz_to_tol(one_pass, mv, AC, restarts, solve_tol)
 
 
-def _solve_C(LW, RW, C, m, lanczos_impl, interpret):
+def _solve_C(LW, RW, C, m, lanczos_impl, interpret, restarts=1,
+             solve_tol=None):
     """Zero-site solve: the bond operator is the same sandwich with one
     physical tile and identity MPO couplings."""
+    mv = lambda x: _matvec_C(LW, RW, x)
+    use_fused = False
     if lanczos_impl == "fused":
         chi = C.shape[0]
         M = LW.shape[1]
         vmem = 4 * chi * chi * (2 * M + (m + 4))
-        if vmem <= 12 * 2**20:
-            from tensornetwork_tpu.ops import kernels
-            W_eye = jnp.eye(M, dtype=C.dtype).reshape(M, M, 1, 1)
+        use_fused = vmem <= 12 * 2**20
+    if use_fused:
+        from tensornetwork_tpu.ops import kernels
+        M = LW.shape[1]
+        W_eye = jnp.eye(M, dtype=C.dtype).reshape(M, M, 1, 1)
+
+        def one_pass(v):
+            # eigh Ritz — see _solve_AC
             _, evec = kernels.fused_lanczos_ground_state(
-                LW[None], W_eye, RW[None], C[None, :, None, :],
-                num_krylov_vecs=m, ritz_method="power",
+                LW[None], W_eye, RW[None], v[None, :, None, :],
+                num_krylov_vecs=m, ritz_method="eigh",
                 interpret=interpret,
                 precision=jax.lax.Precision.HIGHEST)
             return evec[0, :, 0, :]
-    mv = lambda x: _matvec_C(LW, RW, x)
-    _, vec = krylov.eigsh_lanczos(mv, C, num_krylov_vecs=m, numeig=1)
-    return vec[0]
+    else:
+        def one_pass(v):
+            _, vec = krylov.eigsh_lanczos(mv, v, num_krylov_vecs=m,
+                                          numeig=1)
+            return vec[0]
+    if solve_tol is None:
+        v = C / jnp.linalg.norm(C)
+        for _ in range(restarts):
+            v = one_pass(v)
+            v = v / jnp.linalg.norm(v)
+        return v
+    return _restarted_ritz_to_tol(one_pass, mv, C, restarts, solve_tol)
 
 
 def _polar_split(AC: Array, C: Array) -> Tuple[Array, Array, Array]:
@@ -293,55 +395,83 @@ def _polar_split(AC: Array, C: Array) -> Tuple[Array, Array, Array]:
 def vumps_iteration(state: VUMPSState, W: Array, lams: Tuple[float, ...],
                     num_krylov_vecs: int = 25, gmres_m: int = 30,
                     gmres_restarts: int = 2, n_power: int = 10,
-                    lanczos_impl: Optional[str] = None):
+                    lanczos_impl: Optional[str] = None,
+                    guesses=None, lanczos_restarts: int = 4,
+                    solve_tol=None):
     """One full VUMPS iteration as a single XLA computation.
 
-    Returns ``(new_state, energy_density, gauge_error, LW, RW)``."""
+    Returns ``(new_state, energy_density, gauge_error, LW, RW, guesses)``
+    where ``guesses = (r, l)`` are the transfer fixed points to warm-start
+    the next iteration with.  Pass the previous iteration's ``guesses``
+    back in: warm-started power iterations accumulate accuracy across
+    the VUMPS loop, which is what lets a small ``n_power`` converge the
+    gauge error through small transfer gaps (critical chains) — with
+    cold ``C·C†`` seeds every iteration the error floor is set by the
+    per-iteration fixed-point error and the loop stalls around 1e-3
+    (measured, chi=16 critical TFI)."""
     if lanczos_impl is None:
         lanczos_impl = ("fused" if jax.default_backend() == "tpu"
                         else "xla")
     interpret = jax.default_backend() != "tpu"
-    return _vumps_iteration_jit(state, W, lams, num_krylov_vecs, gmres_m,
-                                gmres_restarts, n_power, lanczos_impl,
-                                interpret)
+    if guesses is None:
+        C = state.C
+        r0 = C @ jnp.conj(C.T)
+        l0 = C.T @ jnp.conj(C)
+        guesses = (r0 / jnp.trace(r0), l0 / jnp.trace(l0))
+    return _vumps_iteration_jit(state, W, guesses, solve_tol, lams,
+                                num_krylov_vecs, gmres_m, gmres_restarts,
+                                n_power, lanczos_impl, interpret,
+                                lanczos_restarts)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "lams", "num_krylov_vecs", "gmres_m", "gmres_restarts", "n_power",
-    "lanczos_impl", "interpret"))
-def _vumps_iteration_jit(state: VUMPSState, W: Array, lams,
-                         num_krylov_vecs=25, gmres_m=30,
+    "lanczos_impl", "interpret", "lanczos_restarts"))
+def _vumps_iteration_jit(state: VUMPSState, W: Array, guesses, solve_tol,
+                         lams, num_krylov_vecs=25, gmres_m=30,
                          gmres_restarts=2, n_power=10,
-                         lanczos_impl="xla", interpret=False):
+                         lanczos_impl="xla", interpret=False,
+                         lanczos_restarts=4):
     with jax.default_matmul_precision("highest"):
         AL, AR, C, AC = state
         chi = C.shape[0]
-        # fixed points of the pure transfer maps, seeded by C (exact at
-        # convergence), polished by a few power steps
+        # fixed points of the pure transfer maps: warm-started from the
+        # previous iteration (falling back to C·C†, exact at the fixed
+        # point), polished by n_power power steps.  Mixing in the C·C†
+        # seed keeps the guess PSD-aligned after large state updates.
+        r_prev, l_prev = guesses
         r0 = C @ jnp.conj(C.T)
         r0 = r0 / jnp.trace(r0)
-        r = _fixed_point_right(AL, r0, n_power)
+        if solve_tol is None:
+            env_rtol = 1e-7
+        else:
+            eps = jnp.finfo(C.dtype).eps
+            env_rtol = jnp.clip(0.1 * solve_tol, 20 * eps, 1e-7)
+        r = _fixed_point_right(AL, 0.5 * (r_prev + r0), n_power,
+                               gmres_m, gmres_restarts, env_rtol)
         l0 = C.T @ jnp.conj(C)
         l0 = l0 / jnp.trace(l0)
-        l = _fixed_point_left(AR, l0, n_power)
+        l = _fixed_point_left(AR, 0.5 * (l_prev + l0), n_power,
+                              gmres_m, gmres_restarts, env_rtol)
 
         LW, eL = left_mpo_environment(AL, W, r, lams, jnp.zeros_like(C),
-                                      gmres_m, gmres_restarts)
+                                      gmres_m, gmres_restarts, env_rtol)
         RW, eR = right_mpo_environment(AR, W, l, lams, jnp.zeros_like(C),
-                                       gmres_m, gmres_restarts)
+                                       gmres_m, gmres_restarts, env_rtol)
 
         AC_new = _solve_AC(LW, W, RW, AC, num_krylov_vecs,
-                           lanczos_impl, interpret)
+                           lanczos_impl, interpret, lanczos_restarts,
+                           solve_tol)
         AC_new = AC_new / jnp.linalg.norm(AC_new)
 
         C_new = _solve_C(LW, RW, C, num_krylov_vecs, lanczos_impl,
-                         interpret)
+                         interpret, lanczos_restarts, solve_tol)
         C_new = C_new / jnp.linalg.norm(C_new)
 
         AL_new, AR_new, err = _polar_split(AC_new, C_new)
         energy = 0.5 * jnp.real(eL + eR)
         return (VUMPSState(AL_new, AR_new, C_new, AC_new), energy, err,
-                LW, RW)
+                LW, RW, (r, l))
 
 
 def random_vumps_state(key, chi: int, d: int = 2,
@@ -363,7 +493,7 @@ def vumps(W, chi: int, d: Optional[int] = None, num_iterations: int = 100,
           tol: float = 1e-8, num_krylov_vecs: int = 25, gmres_m: int = 30,
           gmres_restarts: int = 2, n_power: int = 10, seed: int = 0,
           dtype=jnp.float64, initial_state: Optional[VUMPSState] = None,
-          verbose: int = 0) -> VUMPSResult:
+          verbose: int = 0, lanczos_restarts: int = 20) -> VUMPSResult:
     """Find the uniform-MPS ground state of the infinite chain with
     uniform MPO tensor ``W`` (take a bulk site of any MPO from
     :mod:`tensornetwork_tpu.models.mpo`, e.g. ``FiniteTFI(J, h, N=2).Ws[0]``).
@@ -380,10 +510,20 @@ def vumps(W, chi: int, d: Optional[int] = None, num_iterations: int = 100,
         state = initial_state
     energies, errs = [], []
     LW = RW = None
+    guesses = None
+    # adaptive inner eigensolve target: the AC/C Ritz residuals must sit
+    # well below the current gauge error for the fixed-point iteration to
+    # contract (see _restarted_ritz_to_tol); lanczos_restarts bounds the
+    # passes per iteration, the residual target ends them early.
+    tol_floor = 50 * float(jnp.finfo(dtype).eps)
+    prev_err = 0.1
     for it in range(num_iterations):
-        state, e, err, LW, RW = vumps_iteration(
+        solve_tol = jnp.asarray(max(0.02 * prev_err, tol_floor), dtype)
+        state, e, err, LW, RW, guesses = vumps_iteration(
             state, W, lams, num_krylov_vecs=num_krylov_vecs,
-            gmres_m=gmres_m, gmres_restarts=gmres_restarts, n_power=n_power)
+            gmres_m=gmres_m, gmres_restarts=gmres_restarts,
+            n_power=n_power, guesses=guesses,
+            lanczos_restarts=lanczos_restarts, solve_tol=solve_tol)
         e = float(e)
         err_f = float(err)
         energies.append(e)
@@ -392,6 +532,7 @@ def vumps(W, chi: int, d: Optional[int] = None, num_iterations: int = 100,
             print(f"vumps it {it}: e = {e:.12f}, |AC - AL C| = {err_f:.3e}")
         if err_f < tol:
             break
+        prev_err = min(err_f, prev_err * 4.0)
     return VUMPSResult(state, energies[-1], energies, errs, LW, RW)
 
 
@@ -453,10 +594,10 @@ def itdvp_step(state: VUMPSState, W: Array, lams: Tuple[float, ...], dt,
         AL, AR, C, AC = state
         r0 = C @ jnp.conj(C.T)
         r0 = r0 / jnp.trace(r0)
-        r = _fixed_point_right(AL, r0, n_power)
+        r = _fixed_point_right(AL, r0, n_power, gmres_m, gmres_restarts)
         l0 = C.T @ jnp.conj(C)
         l0 = l0 / jnp.trace(l0)
-        l = _fixed_point_left(AR, l0, n_power)
+        l = _fixed_point_left(AR, l0, n_power, gmres_m, gmres_restarts)
         LW, eL = left_mpo_environment(AL, W, r, lams, jnp.zeros_like(C),
                                       gmres_m, gmres_restarts)
         RW, eR = right_mpo_environment(AR, W, l, lams, jnp.zeros_like(C),

@@ -296,6 +296,60 @@ def test_restart_convergence_is_residual_not_drift(rng):
     assert resid_at_min > 0.1, resid_at_min
 
 
+def test_hermitian_restart_residual_not_drift_clustered_spectrum(rng):
+    # VERDICT r3 item 10, Hermitian side: a spectrum accumulating at the
+    # top edge with sqrt spacing (gap shrinks toward the extreme value)
+    # makes the leading Ritz value stall — drift between consecutive
+    # restarts falls ORDERS below tol while the true residual is still
+    # above it.  The residual criterion must keep reporting
+    # non-convergence through the stall and flip only when the residual
+    # itself crosses tol.
+    import functools
+    n, m, numeig, tol = 1500, 8, 1, 1e-6
+    lrng = np.random.default_rng(0)
+    evs = 1.0 - (np.arange(n) / n) ** 0.5
+    Q, _ = np.linalg.qr(lrng.standard_normal((n, n)))
+    A = (Q * evs) @ Q.T
+    Aj = jnp.asarray(A)
+    mv = lambda x: Aj @ x
+    v0 = jnp.asarray(lrng.standard_normal(n))
+
+    lam_prev = None
+    stall_seen = False
+    for maxiter in range(1, 10):
+        V, H, it, conv = jax.jit(functools.partial(
+            krylov._restarted_arnoldi_engine, mv, m=m, numeig=numeig,
+            which="LA", maxiter=maxiter, tol=tol, hermitian=True))(v0)
+        Hm = np.asarray(H)[:m, :m]
+        Hm = (Hm + Hm.T) / 2
+        ev, U = np.linalg.eigh(Hm)
+        lam, y = ev[-1], U[:, -1]
+        ritz = np.asarray(V)[:m].T @ y
+        ritz /= np.linalg.norm(ritz)
+        resid = np.linalg.norm(A @ ritz - lam * ritz)
+        if lam_prev is not None:
+            drift = abs(lam - lam_prev)
+            if drift < tol / 100 and resid > tol:
+                # a drift-based criterion would have accepted here
+                stall_seen = True
+                assert not bool(conv), (maxiter, drift, resid)
+        lam_prev = lam
+    assert stall_seen
+    # and with enough restarts the criterion does flip, at a genuinely
+    # small residual
+    V, H, it, conv = jax.jit(functools.partial(
+        krylov._restarted_arnoldi_engine, mv, m=m, numeig=numeig,
+        which="LA", maxiter=40, tol=tol, hermitian=True))(v0)
+    assert bool(conv)
+    Hm = np.asarray(H)[:m, :m]
+    Hm = (Hm + Hm.T) / 2
+    ev, U = np.linalg.eigh(Hm)
+    lam, y = ev[-1], U[:, -1]
+    ritz = np.asarray(V)[:m].T @ y
+    ritz /= np.linalg.norm(ritz)
+    assert np.linalg.norm(A @ ritz - lam * ritz) < 10 * tol
+
+
 def test_residual_criterion_still_converges_clean_operator(rng):
     # sanity: on a well-separated operator the residual criterion does
     # reach convergence (conv flag True) and the pair is genuinely good
