@@ -213,6 +213,17 @@ def _local_solve_1s(Lenv: Array, W: Array, Renv: Array, A: Array,
                 n_chunks=n_chunks, interpret=interpret,
                 precision=jax.lax.Precision.HIGHEST)
             return ev[0], evec[0]
+        # Tier 4 — doubly-chunked matvec kernel + XLA recurrence: the
+        # chi=1024 tier, where even the streamed kernel's resident
+        # recurrence vectors (3d tiles) no longer fit VMEM (r4).
+        plan = kernels.streamed_matvec_plan(chi, d, M)
+        if plan is not None:
+            ev, evec = kernels.fused_lanczos_ground_state_streamed2(
+                Lenv[None], W, Renv[None], A[None],
+                num_krylov_vecs=num_krylov_vecs, ritz_method=ritz_impl,
+                plan=plan, interpret=interpret,
+                precision=jax.lax.Precision.HIGHEST)
+            return ev[0], evec[0]
     mv = lambda x: _matvec_1s(Lenv, W, Renv, x, matvec_prec)
     evals, evecs = krylov.eigsh_lanczos(
         mv, A, num_krylov_vecs=num_krylov_vecs, numeig=1,
@@ -232,12 +243,23 @@ def _local_solve_2s(Lenv: Array, W1: Array, W2: Array, Renv: Array,
         M = W1.shape[0]
         nt = d * d
         vmem_bytes = 4 * chi * chi * (2 * M + nt * (num_krylov_vecs + 4))
+        from tensornetwork_tpu.ops import kernels
         if vmem_bytes <= 12 * 2**20:
-            from tensornetwork_tpu.ops import kernels
             ev, evec = kernels.fused_lanczos_ground_state_2s(
                 Lenv[None], W1, W2, Renv[None], theta[None],
                 num_krylov_vecs=num_krylov_vecs, ritz_method=ritz_impl,
                 interpret=interpret, precision=jax.lax.Precision.HIGHEST)
+            return ev[0], evec[0]
+        # Large-chi two-site tier (r4): doubly-chunked matvec kernel +
+        # XLA recurrence — theta tiles are (chi*d)^2, so the
+        # resident-recurrence kernels never fit here.
+        plan = kernels.streamed_matvec_plan(chi, nt, M)
+        if plan is not None:
+            ev, evec = kernels.fused_lanczos_ground_state_2s_streamed(
+                Lenv[None], W1, W2, Renv[None], theta[None],
+                num_krylov_vecs=num_krylov_vecs, ritz_method=ritz_impl,
+                plan=plan, interpret=interpret,
+                precision=jax.lax.Precision.HIGHEST)
             return ev[0], evec[0]
     mv = lambda x: _matvec_2s(Lenv, W1, W2, Renv, x, matvec_prec)
     evals, evecs = krylov.eigsh_lanczos(

@@ -414,18 +414,28 @@ class BatchedSymmetricDMRG:
                     seen.add(sig)
                     yield ("site", sig, (site, direction))
 
-    def export_programs(self, path: str, verbose: int = 0) -> int:
+    def export_programs(self, path: str, verbose: int = 0,
+                        subset: Optional[Sequence[int]] = None,
+                        platforms: Optional[Sequence[str]] = None) -> int:
         """Serialize every one-site program's traced StableHLO to
         ``path`` (one file per unique charge-structure program, named by
         a hash of the structure + batch/dtype/solver config).  Call
         before :meth:`precompile` (exports need the jitted, not the
-        AOT-compiled, callables).  Returns the number written."""
+        AOT-compiled, callables).  Returns the number written.
+
+        ``subset``: indices into the stable program-key enumeration —
+        used by :meth:`export_programs_parallel` to partition work
+        across processes.  ``platforms``: target platform list for
+        cross-platform export (e.g. ``("tpu",)`` from a CPU-backed
+        worker process — tracing is pure host work, so workers need no
+        device access)."""
         import os
         from jax import export as jexport
         if self.ep_mesh is not None or self._batch_sharding is not None:
             raise ValueError("export is for the single-device path")
         os.makedirs(path, exist_ok=True)
         dtype = self.data[0].dtype
+        plat = None if platforms is None else list(platforms)
 
         def sds(skel):
             return jax.ShapeDtypeStruct((self.B, skel.data.shape[0]),
@@ -436,7 +446,9 @@ class BatchedSymmetricDMRG:
                                         self._env_dtype)
 
         n = 0
-        for kind, sig, ref in self._iter_program_keys():
+        for idx, (kind, sig, ref) in enumerate(self._iter_program_keys()):
+            if subset is not None and idx not in subset:
+                continue
             fname = os.path.join(path, self._export_sig(kind, sig) + ".shlo")
             if os.path.exists(fname):
                 continue
@@ -445,7 +457,7 @@ class BatchedSymmetricDMRG:
                 run = self._canon_program(site)
                 if not hasattr(run, "lower"):
                     continue
-                exp = jexport.export(run)(
+                exp = jexport.export(run, platforms=plat)(
                     sds(self.skeleton[site]), sds(self.skeleton[site - 1]),
                     jax.ShapeDtypeStruct(self.mpo_data[site].shape,
                                          self.mpo_data[site].dtype),
@@ -456,17 +468,81 @@ class BatchedSymmetricDMRG:
                 prog = self._program(site, direction)
                 if not hasattr(prog._step, "lower"):
                     continue
-                exp = jexport.export(prog._step)(
+                exp = jexport.export(prog._step, platforms=plat)(
                     sds(self.skeleton[site]), sds(self.skeleton[nxt]),
                     jax.ShapeDtypeStruct(self.mpo_data[site].shape,
                                          self.mpo_data[site].dtype),
                     sds_env(self._Lskel[site]),
                     sds_env(self._Rskel[site + 1]))
-            with open(fname, "wb") as f:
+            tmp = fname + ".tmp"
+            with open(tmp, "wb") as f:
                 f.write(exp.serialize())
+            os.replace(tmp, fname)
             n += 1
             if verbose:
                 print(f"exported {kind} program -> {fname}")
+        return n
+
+    def _worker_spec(self):
+        """Picklable reconstruction spec for export workers (data values
+        are irrelevant to tracing — workers rebuild with zeros)."""
+        return dict(
+            skeleton=self.skeleton, mpo=self.mpo, B=self.B,
+            data_dtype=str(jnp.dtype(self.data[0].dtype)),
+            mpo_dtype=str(jnp.dtype(self.mpo_data[0].dtype)),
+            m=self.m, ritz=self.ritz, reorth=self.reorth)
+
+    def export_programs_parallel(self, path: str, workers: int = 2,
+                                 verbose: int = 0,
+                                 platforms: Optional[Sequence[str]] = None
+                                 ) -> int:
+        """Fan the export across ``workers`` PROCESSES (VERDICT r3 item
+        7: tracing is Python/GIL-bound, so threads cannot cut the 137 s
+        sequential trace wall — the 45 programs are independent).  Each
+        worker reconstructs the solver from a pickled spec on the CPU
+        backend (no device contention) and exports its index-stride
+        slice cross-platform for this process's backend.  Returns the
+        total number of artifacts written."""
+        import multiprocessing as mp
+        if platforms is None:
+            platforms = (jax.default_backend(),)
+        keys = list(self._iter_program_keys())
+        missing = []
+        import os
+        for idx, (kind, sig, _) in enumerate(keys):
+            fname = os.path.join(path,
+                                 self._export_sig(kind, sig) + ".shlo")
+            if not os.path.exists(fname):
+                missing.append(idx)
+        if not missing:
+            return 0
+        workers = max(1, min(workers, len(missing)))
+        if workers == 1:
+            return self.export_programs(path, verbose=verbose,
+                                        subset=set(missing),
+                                        platforms=platforms)
+        spec = self._worker_spec()
+        subsets = [set(missing[i::workers]) for i in range(workers)]
+        ctx = mp.get_context("spawn")
+        procs = [ctx.Process(target=_export_worker,
+                             args=(spec, path, sub, tuple(platforms)))
+                 for sub in subsets]
+        for p in procs:
+            p.start()
+        n = 0
+        for p in procs:
+            p.join()
+            if p.exitcode != 0:
+                raise RuntimeError(
+                    f"export worker failed (exit {p.exitcode})")
+        for idx in missing:
+            kind, sig, _ = keys[idx]
+            fname = os.path.join(path,
+                                 self._export_sig(kind, sig) + ".shlo")
+            n += int(os.path.exists(fname))
+        if verbose:
+            print(f"parallel export: {n}/{len(missing)} programs via "
+                  f"{workers} workers")
         return n
 
     def load_programs(self, path: str, verbose: int = 0) -> int:
@@ -723,3 +799,20 @@ def _install_two_site(cls):
 
 
 _install_two_site(BatchedSymmetricDMRG)
+
+
+def _export_worker(spec, path, subset, platforms):
+    """Process entry for :meth:`BatchedSymmetricDMRG.
+    export_programs_parallel`: rebuild the solver on the CPU backend
+    (tracing needs no device) and export the given key subset
+    cross-platform."""
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+    import numpy as _np
+    data = [_np.zeros((spec["B"], s.data.shape[0]), spec["data_dtype"])
+            for s in spec["skeleton"]]
+    solver = BatchedSymmetricDMRG(
+        spec["skeleton"], data, spec["mpo"],
+        num_krylov_vecs=spec["m"], ritz_method=spec["ritz"],
+        reorth=spec["reorth"])
+    solver.export_programs(path, subset=subset, platforms=platforms)

@@ -740,7 +740,11 @@ def fused_lanczos_ground_state_2s(L, W1, W2, R, x0, num_krylov_vecs: int,
     d = W1.shape[2]
     nt = d * d
     m = num_krylov_vecs
-    C = jnp.einsum("wmst,mvuz->wvsutz", W1, W2).reshape(M, M, nt, nt)
+    # the MPO pre-fusion contraction must run at the kernel's precision:
+    # at DEFAULT it executes in bf16 on TPU and poisons every coupling
+    # scalar (~1e-3 rel — measured on chip via the streamed wrapper)
+    C = jnp.einsum("wmst,mvuz->wvsutz", W1, W2,
+                   precision=precision).reshape(M, M, nt, nt)
     accum = x0.dtype if x0.dtype == jnp.float64 else jnp.float32
     Lt = L.transpose(0, 2, 3, 1)
     Rt = R.transpose(0, 2, 1, 3)
@@ -1253,3 +1257,281 @@ def transfer_chain(As, E0, impl: str = "pallas", tile_b: int = 8,
                              interpret=interpret, precision=precision,
                              variant=variant, accum_dtype=accum_dtype)
     return fk(Ak, E0)
+
+
+# ---------------------------------------------------------------------------
+# Doubly-chunked streamed matvec + XLA-recurrence Lanczos (round 4):
+# the large-chi tier for TWO-SITE solves (theta tiles are (chi*d)^2) and
+# for chi=1024 one-site, where even the r3 streamed kernel's resident
+# recurrence vectors (3*nt tiles) no longer fit VMEM.  VERDICT r3 item 1.
+# ---------------------------------------------------------------------------
+
+
+def make_streamed_matvec(chi: int, nt: int, M: int, n_chunks: int,
+                         n_chunks2: int = 1,
+                         accum_dtype=jnp.float32,
+                         interpret: bool = False,
+                         precision=None):
+    """One H_eff matvec with BOTH bond axes chunked over the grid.
+
+    The r3 streamed whole-Lanczos kernel keeps the three recurrence
+    vectors resident (3*nt chi-tiles) — 12 tiles for two-site (nt=d^2)
+    or chi=1024, which no VMEM plan admits.  This kernel fuses only the
+    matvec (the FLOP carrier) and streams everything chunk-wise; the
+    cheap three-term recurrence runs in XLA between kernel calls, all
+    inside one jit (the extra HBM traffic is ~2 state-sizes per step —
+    tens of microseconds against a ~ms matvec at these shapes).
+
+    Grid ``(B, K, K2)``: the output row axis (c) is chunked K-ways, the
+    output column axis (d) K2-ways.  Per program: at ``k2 == 0`` the
+    stage-1 GEMMs run for this c-chunk and are immediately folded
+    through the MPO couplings into ``Q[v, s] (cs, chi)`` scratch (the
+    P intermediate is never materialized — saves M*nt chunk-tiles); per
+    k2, stage 2 is the pure GEMM ``y[s] += Q[v,s] @ R[v][:, d-chunk]``.
+    The Rayleigh quotient ``alpha = <x, y>`` accumulates in SMEM so the
+    XLA glue does not need a separate reduction pass over y.
+
+    Returns ``f(Lt, C, Rt, x) -> (y, alpha)`` on kernel-layout operands:
+      Lt: (B, M, chi, chi) [w][c, a]   C: (M, M, nt, nt) couplings
+      Rt: (B, M, chi, chi) [v][b, d]   x: (B, nt, chi, chi) [t][a, b]
+      y:  (B, nt, chi, chi) [s][c, d]  alpha: (B,)
+    """
+    if chi % n_chunks or chi % n_chunks2:
+        raise ValueError(f"chi={chi} not divisible by chunk counts "
+                         f"({n_chunks}, {n_chunks2})")
+    cs = chi // n_chunks
+    ds = chi // n_chunks2
+    K, K2 = n_chunks, n_chunks2
+
+    def kernel(C_ref, x_ref, Lc_ref, Rc_ref, y_ref, alpha_ref, Q_scr):
+        k = pl.program_id(1)
+        k2 = pl.program_id(2)
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=accum_dtype)
+
+        @pl.when(jnp.logical_and(k == 0, k2 == 0))
+        def _():
+            alpha_ref[0, 0] = jnp.zeros((), accum_dtype)
+
+        @pl.when(k2 == 0)
+        def _():
+            # stage 1 + coupling fold: Q[v, s] = sum_wt C[w,v,s,t] *
+            # (L[w][c-chunk, :] @ x[t])
+            for w_i in range(M):
+                for t in range(nt):
+                    tmp = dot(Lc_ref[0, w_i], x_ref[0, t])
+                    for v_i in range(M):
+                        for s in range(nt):
+                            c = C_ref[w_i, v_i, s, t]
+                            if w_i == 0 and t == 0:
+                                Q_scr[v_i, s] = c * tmp
+                            else:
+                                Q_scr[v_i, s] = Q_scr[v_i, s] + c * tmp
+
+        apart = jnp.zeros((), accum_dtype)
+        for s in range(nt):
+            acc = None
+            for v_i in range(M):
+                contrib = dot(Q_scr[v_i, s], Rc_ref[0, v_i])
+                acc = contrib if acc is None else acc + contrib
+            y_ref[0, s] = acc.astype(y_ref.dtype)
+            apart = apart + jnp.sum(
+                x_ref[0, s, pl.ds(k * cs, cs), pl.ds(k2 * ds, ds)] * acc)
+        alpha_ref[0, 0] = alpha_ref[0, 0] + apart
+
+    @jax.jit
+    def f(Lt, C, Rt, x):
+        B = x.shape[0]
+        grid = (B, K, K2)
+        y, alpha = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((M, M, nt, nt), lambda i, k, k2: (0,) * 4,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, nt, chi, chi),
+                             lambda i, k, k2: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, M, cs, chi),
+                             lambda i, k, k2: (i, 0, k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, M, chi, ds),
+                             lambda i, k, k2: (i, 0, 0, k2),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, nt, cs, ds),
+                             lambda i, k, k2: (i, 0, k, k2),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, k, k2: (i, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, nt, chi, chi), accum_dtype),
+                jax.ShapeDtypeStruct((B, 1), accum_dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((M, nt, cs, chi), accum_dtype),  # Q
+            ],
+            interpret=interpret,
+        )(C, x, Lt, Rt)
+        return y, alpha[:, 0]
+
+    return f
+
+
+def streamed_matvec_plan(chi: int, nt: int, M: int,
+                         budget_bytes: int = 14_000_000):
+    """(K, K2) chunk counts for :func:`make_streamed_matvec` whose VMEM
+    plan fits ``budget_bytes`` (same calibrated budget as
+    :func:`streamed_chunk_count`), preferring the largest chunks (small
+    K, then small K2 — bigger GEMMs keep the MXU full); None if nothing
+    fits.  Mosaic constrains the LAST block dim to multiples of 128
+    (column chunks ds >= 128) and the second-to-last to multiples of 8
+    (row chunks cs >= 32 kept for MXU efficiency).
+
+    The flagship shapes carry ON-CHIP MEASURED plans (TPU v5e,
+    2026-08-21 plan sweep): the VMEM cost model below is conservative —
+    e.g. (16, 4) at chi=1024 estimates 17.4 MB yet compiles and runs
+    16% faster than the model's (32, 8) pick, while (2, 2) at chi=512
+    nt=4 estimates 16.5 MB and FAILS remote Mosaic — so measurements,
+    not the model, pick the plan where we have them."""
+    measured = {(512, 4, 3): (8, 2),      # 2-site chi=512: 4.5 TF matvec
+                (1024, 2, 3): (16, 4)}    # 1-site chi=1024: 12.3 TF
+    if (chi, nt, M) in measured:
+        return measured[(chi, nt, M)]
+    tile = 4 * chi * chi
+
+    def vmem(K, K2):
+        cs, ds = chi // K, chi // K2
+        resident = tile * nt                       # x
+        lc = 2 * M * cs * chi * 4                  # L chunks (dbl-buffered)
+        rc = (2 if K2 > 1 else 1) * M * chi * ds * 4
+        q = M * nt * cs * chi * 4
+        yc = 2 * nt * cs * ds * 4
+        return resident + lc + rc + q + yc
+
+    K = 1
+    while chi // K >= 32:
+        if chi % K == 0:
+            K2 = 1
+            while chi // K2 >= 128:
+                if chi % K2 == 0 and vmem(K, K2) <= budget_bytes:
+                    return K, K2
+                K2 *= 2
+        K *= 2
+    return None
+
+
+def _streamed_lanczos_core(Lt, C, Rt, xt, m, K, K2,
+                           delta, ritz_method, power_iters,
+                           interpret, precision):
+    """Plain three-term Lanczos with the matvec in the doubly-chunked
+    kernel and the recurrence in XLA (one jit).  Operands in kernel
+    layout; returns ``(evals (B,), y (B, nt, chi, chi))`` (kernel
+    layout).  Breakdown semantics match :func:`make_fused_lanczos`
+    (+1e10 dead sentinels, zeroed dead betas/vectors)."""
+    from tensornetwork_tpu.ops import krylov
+
+    LARGE = 1e10
+    B, nt, chi, _ = xt.shape
+    M = C.shape[0]
+    accum = xt.dtype if xt.dtype == jnp.float64 else jnp.float32
+    mvk = make_streamed_matvec(chi, nt, M, K, K2, accum_dtype=accum,
+                               interpret=interpret, precision=precision)
+    x0 = xt.astype(accum)
+    C = C.astype(accum)
+    nrm = jnp.sqrt(jnp.sum(x0 * x0, axis=(1, 2, 3), keepdims=True))
+    alive0 = nrm[:, 0, 0, 0] > delta
+    v0 = jnp.where(nrm > delta,
+                   x0 / jnp.where(nrm > 0, nrm, 1.0), 0.0)
+    zeros_B = jnp.zeros((B,), accum)
+
+    def body(carry, _):
+        v, vp, beta_prev, alive = carry
+        w, alpha = mvk(Lt, C, Rt, v)
+        alpha_out = jnp.where(alive, alpha, LARGE)
+        wv = (w - alpha[:, None, None, None] * v
+              - beta_prev[:, None, None, None] * vp)
+        beta = jnp.sqrt(jnp.sum(wv * wv, axis=(1, 2, 3)))
+        alive_next = jnp.logical_and(alive, beta > delta)
+        inv = jnp.where(beta > delta,
+                        1.0 / jnp.where(beta > 0, beta, 1.0), 0.0)
+        vn = wv * (inv * alive_next.astype(accum))[:, None, None, None]
+        beta_out = jnp.where(alive_next, beta, 0.0)
+        return (vn, v, beta_out, alive_next), (v, alpha_out, beta_out)
+
+    init = (v0, jnp.zeros_like(v0), zeros_B, alive0)
+    _, (V, alphas, betas) = jax.lax.scan(body, init, None, length=m)
+    # V: (m, B, nt, chi, chi); alphas/betas: (m, B)
+    alphas = alphas.T
+    betas = betas.T[:, : m - 1] if m > 1 else alphas[:, :0]
+    evals, weights = jax.vmap(
+        lambda al, be: krylov.tridiag_ritz(al, be, ritz_method,
+                                           power_iters))(alphas, betas)
+    y = jnp.einsum("Bm,mBtab->Btab", weights.astype(V.dtype), V)
+    ynrm = jnp.sqrt(jnp.sum(y * y, axis=(1, 2, 3), keepdims=True))
+    y = y / jnp.where(ynrm > delta, ynrm, 1.0)
+    return evals, y
+
+
+def fused_lanczos_ground_state_streamed2(L, W, R, x0,
+                                         num_krylov_vecs: int,
+                                         ritz_method: str = "eigh",
+                                         power_iters: int = 60,
+                                         delta: float = 1e-8,
+                                         plan=None,
+                                         interpret: bool = False,
+                                         precision=None):
+    """One-site ground-state Lanczos via the doubly-chunked matvec
+    kernel — the chi=1024 tier (solver-layout operands and return
+    convention of :func:`fused_lanczos_ground_state`)."""
+    B, chi, _, _ = L.shape
+    d = x0.shape[2]
+    M = W.shape[0]
+    if plan is None:
+        plan = streamed_matvec_plan(chi, d, M)
+        if plan is None:
+            raise ValueError(
+                f"no streamed-matvec chunking fits VMEM at chi={chi}")
+    Lt, W_, Rt, xt = prepare_operands(L, W, R, x0)
+    evals, y = _streamed_lanczos_core(
+        Lt, W_, Rt, xt, num_krylov_vecs, plan[0], plan[1], delta,
+        ritz_method, power_iters, interpret, precision)
+    return evals, y.transpose(0, 2, 1, 3)
+
+
+def fused_lanczos_ground_state_2s_streamed(L, W1, W2, R, x0,
+                                           num_krylov_vecs: int,
+                                           ritz_method: str = "eigh",
+                                           power_iters: int = 60,
+                                           delta: float = 1e-8,
+                                           plan=None,
+                                           interpret: bool = False,
+                                           precision=None):
+    """Two-site ground-state Lanczos via the doubly-chunked matvec
+    kernel — the large-chi two-site tier (VERDICT r3 item 1a: theta
+    tiles are (chi*d)^2, so the resident-recurrence streamed kernel
+    never fits; here only x stays resident).  Operands and returns as
+    :func:`fused_lanczos_ground_state_2s`."""
+    B, chi, M, _ = L.shape
+    d = W1.shape[2]
+    nt = d * d
+    if plan is None:
+        plan = streamed_matvec_plan(chi, nt, M)
+        if plan is None:
+            raise ValueError(
+                f"no streamed-matvec chunking fits VMEM at chi={chi} "
+                f"(two-site)")
+    # precision on the pre-fusion contraction: see
+    # fused_lanczos_ground_state_2s
+    C = jnp.einsum("wmst,mvuz->wvsutz", W1, W2,
+                   precision=precision).reshape(M, M, nt, nt)
+    Lt = L.transpose(0, 2, 3, 1)
+    Rt = R.transpose(0, 2, 1, 3)
+    xt = x0.reshape(B, chi, nt, chi).transpose(0, 2, 1, 3)
+    evals, y = _streamed_lanczos_core(
+        Lt, C, Rt, xt, num_krylov_vecs, plan[0], plan[1], delta,
+        ritz_method, power_iters, interpret, precision)
+    return evals, y.transpose(0, 2, 1, 3).reshape(B, chi, d, d, chi)

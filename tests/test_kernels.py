@@ -211,3 +211,76 @@ def test_streamed_chunk_count_gates():
     assert streamed_chunk_count(512, 2, 3) == 8    # the target regime
     # (K=4's 15.7 MB plan fails remote Mosaic VMEM on chip; K=8 passes)
     assert streamed_chunk_count(1024, 2, 3) is None  # TP territory
+
+
+def test_streamed_matvec_plan_targets():
+    from tensornetwork_tpu.ops.kernels import streamed_matvec_plan
+    # the round-4 target regimes must have admissible plans
+    assert streamed_matvec_plan(512, 4, 3) is not None    # chi=512 2-site
+    assert streamed_matvec_plan(1024, 2, 3) is not None   # chi=1024 1-site
+    assert streamed_matvec_plan(256, 4, 3) is not None    # chi=256 2-site
+    # chi=1024 two-site: x alone (4 tiles of 4 MB) busts VMEM — TP-shard
+    assert streamed_matvec_plan(1024, 4, 3) is None
+
+
+def test_streamed2_matches_xla_lanczos_oracle(rng):
+    # doubly-chunked matvec kernel + XLA recurrence vs the plain
+    # three-term XLA Lanczos on a Hermitian sandwich (interpret mode)
+    from tensornetwork_tpu.ops import krylov
+    B, chi, d, M, m = 2, 128, 2, 3, 8
+    L = rng.standard_normal((B, chi, M, chi))
+    L = 0.5 * (L + L.transpose(0, 3, 2, 1))
+    R = rng.standard_normal((B, chi, M, chi))
+    R = 0.5 * (R + R.transpose(0, 3, 2, 1))
+    W = rng.standard_normal((M, M, d, d))
+    W = 0.5 * (W + W.transpose(1, 0, 3, 2))
+    L, W, R = jnp.asarray(L), jnp.asarray(W), jnp.asarray(R)
+    x0 = jnp.asarray(rng.standard_normal((B, chi, d, chi)))
+
+    def mv(Lb, Rb, x):
+        return jnp.einsum("awc,wvst,atb,bvd->csd", Lb, W, x, Rb,
+                          optimize="auto")
+
+    ev_or, y_or = jax.vmap(lambda Lb, Rb, xb: krylov.eigsh_lanczos(
+        lambda x: mv(Lb, Rb, x), xb, num_krylov_vecs=m, numeig=1,
+        reorthogonalize=False, ritz_method="eigh"))(L, R, x0)
+    ev, y = K.fused_lanczos_ground_state_streamed2(
+        L, W, R, x0, num_krylov_vecs=m, ritz_method="eigh",
+        plan=(2, 2), interpret=True)
+    np.testing.assert_allclose(np.asarray(ev), np.asarray(ev_or[:, 0]),
+                               atol=1e-10)
+    fid = jnp.abs(jnp.sum(y.reshape(B, -1) * y_or[:, 0].reshape(B, -1),
+                          axis=1))
+    np.testing.assert_allclose(np.asarray(fid), 1.0, atol=1e-10)
+
+
+def test_streamed2_two_site_matches_oracle(rng):
+    from tensornetwork_tpu.ops import krylov
+    B, chi, d, M, m = 1, 128, 2, 3, 6
+    L = rng.standard_normal((B, chi, M, chi))
+    L = 0.5 * (L + L.transpose(0, 3, 2, 1))
+    R = rng.standard_normal((B, chi, M, chi))
+    R = 0.5 * (R + R.transpose(0, 3, 2, 1))
+    W1 = rng.standard_normal((M, M, d, d))
+    W1 = 0.5 * (W1 + W1.transpose(1, 0, 3, 2))
+    W2 = rng.standard_normal((M, M, d, d))
+    W2 = 0.5 * (W2 + W2.transpose(1, 0, 3, 2))
+    L, R = jnp.asarray(L), jnp.asarray(R)
+    W1, W2 = jnp.asarray(W1), jnp.asarray(W2)
+    th0 = jnp.asarray(rng.standard_normal((B, chi, d, d, chi)))
+
+    def mv2(Lb, Rb, x):
+        return jnp.einsum("awc,wmst,mvuz,atzb,bvd->csud", Lb, W1, W2, x,
+                          Rb, optimize="auto")
+
+    ev_or, y_or = jax.vmap(lambda Lb, Rb, xb: krylov.eigsh_lanczos(
+        lambda x: mv2(Lb, Rb, x), xb, num_krylov_vecs=m, numeig=1,
+        reorthogonalize=False, ritz_method="eigh"))(L, R, th0)
+    ev, y = K.fused_lanczos_ground_state_2s_streamed(
+        L, W1, W2, R, th0, num_krylov_vecs=m, ritz_method="eigh",
+        plan=(2, 2), interpret=True)
+    np.testing.assert_allclose(np.asarray(ev), np.asarray(ev_or[:, 0]),
+                               atol=1e-10)
+    fid = jnp.abs(jnp.sum(y.reshape(B, -1) * y_or[:, 0].reshape(B, -1),
+                          axis=1))
+    np.testing.assert_allclose(np.asarray(fid), 1.0, atol=1e-10)
