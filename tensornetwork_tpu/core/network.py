@@ -25,6 +25,25 @@ Tensor = Any
 _NAME_COUNTER = itertools.count()
 
 
+def _is_blocksparse(t) -> bool:
+    """Duck test for symmetric (blocksparse) operands — the graph layer
+    dispatches tensor ops on this so BlockSparseTensors flow through the
+    SAME Node/Edge API as dense arrays (reference parity:
+    ``tests/tensornetwork_symmetric_test.py`` runs whole-network
+    scenarios on the symmetric backend)."""
+    return hasattr(t, "flat_charges") and hasattr(t, "todense")
+
+
+def _as_node_tensor(t):
+    return t if _is_blocksparse(t) else jnp.asarray(t)
+
+
+def _transpose_any(t, perm):
+    if _is_blocksparse(t):
+        return t.transpose(tuple(int(p) for p in perm))
+    return jnp.transpose(t, perm)
+
+
 def _fresh_name(prefix: str) -> str:
     return f"__{prefix}_{next(_NAME_COUNTER)}"
 
@@ -172,7 +191,7 @@ class AbstractNode:
                 "reorder_edges does not support nodes with trace edges; "
                 "contract the trace first")
         perm = [self.edges.index(e) for e in edge_order]
-        self.tensor = jnp.transpose(self.tensor, perm)
+        self.tensor = _transpose_any(self.tensor, perm)
         for new_axis, e in enumerate(edge_order):
             e.update_axis(perm[new_axis], self, new_axis, self)
         self.edges = list(edge_order)
@@ -185,7 +204,7 @@ class AbstractNode:
         ``network_components.py:255``)."""
         if sorted(perm) != list(range(len(self.edges))):
             raise ValueError(f"perm {perm} is not a permutation")
-        self.tensor = jnp.transpose(self.tensor, perm)
+        self.tensor = _transpose_any(self.tensor, perm)
         new_edges = [self.edges[p] for p in perm]
         for new_axis, e in enumerate(new_edges):
             e.update_axis(perm[new_axis], self, new_axis, self)
@@ -206,7 +225,7 @@ class AbstractNode:
             else:
                 raise ValueError(f"edge {e.name} not connected to node "
                                  f"{self.name}")
-        return jnp.transpose(self.tensor, perm)
+        return _transpose_any(self.tensor, perm)
 
     # -- dunder algebra ----------------------------------------------------
     def __matmul__(self, other: "AbstractNode") -> "Node":
@@ -240,7 +259,7 @@ class AbstractNode:
     def copy(self, conjugate: bool = False) -> "Node":
         t = self.tensor
         if conjugate:
-            t = jnp.conj(t)
+            t = t.conj() if _is_blocksparse(t) else jnp.conj(t)
         return Node(t, name=self.name, axis_names=self._axis_names)
 
     def to_serial_dict(self) -> dict:
@@ -264,7 +283,7 @@ class Node(AbstractNode):
                  axis_names: Optional[Sequence[str]] = None):
         if isinstance(tensor, AbstractNode):
             tensor = tensor.tensor
-        self._tensor = jnp.asarray(tensor)
+        self._tensor = _as_node_tensor(tensor)
         super().__init__(name=name, axis_names=axis_names)
         if axis_names is not None and len(axis_names) != self._tensor.ndim:
             raise ValueError("axis_names length does not match tensor rank")
@@ -276,7 +295,7 @@ class Node(AbstractNode):
 
     @tensor.setter
     def tensor(self, t: Tensor):
-        self._tensor = jnp.asarray(t)
+        self._tensor = _as_node_tensor(t)
 
     @classmethod
     def from_serial_dict(cls, d: dict, tensor) -> "Node":
@@ -556,7 +575,7 @@ def _flatten_edges_on(node: AbstractNode, edges: Sequence[Edge],
     axes = _axes_on(node, edges)
     other_axes = [i for i in range(node.get_rank()) if i not in axes]
     perm = other_axes + axes
-    t = jnp.transpose(node.tensor, perm)
+    t = _transpose_any(node.tensor, perm)
     flat_dim = int(np.prod([node.shape[a] for a in axes], dtype=np.int64))
     t = t.reshape(tuple(node.shape[a] for a in other_axes) + (flat_dim,))
     old_edges = [node.edges[i] for i in other_axes]
@@ -576,7 +595,7 @@ def _flatten_trace_edges(node: AbstractNode, edges: Sequence[Edge],
     other = [i for i in range(node.get_rank())
              if i not in ax1s and i not in ax2s]
     perm = other + ax1s + ax2s
-    t = jnp.transpose(node.tensor, perm)
+    t = _transpose_any(node.tensor, perm)
     d = int(np.prod([node.shape[a] for a in ax1s], dtype=np.int64))
     t = t.reshape(tuple(node.shape[a] for a in other) + (d, d))
     old_edges = [node.edges[i] for i in other]
@@ -691,6 +710,13 @@ def slice_edge(edge: Edge, start_index: int, length: int,
 
 
 def _tensordot(a, b, axes):
+    if _is_blocksparse(a) or _is_blocksparse(b):
+        if not (_is_blocksparse(a) and _is_blocksparse(b)):
+            raise TypeError(
+                "cannot contract a BlockSparseTensor with a dense tensor")
+        from tensornetwork_tpu.blocksparse.tensor import (
+            tensordot as _bst_tensordot)
+        return _bst_tensordot(a, b, axes)
     cfg = get_config()
     return jnp.tensordot(a, b, axes=axes,
                          precision=jax.lax.Precision(cfg.dot_precision))
@@ -699,7 +725,11 @@ def _tensordot(a, b, axes):
 def _contract_trace(edge: Edge, name: Optional[str] = None) -> "Node":
     node = edge.node1
     ax1, ax2 = edge.axis1, edge.axis2
-    t = jnp.trace(node.tensor, axis1=ax1, axis2=ax2)
+    if _is_blocksparse(node.tensor):
+        from tensornetwork_tpu.blocksparse import linalg as _bsl
+        t = _bsl.trace(node.tensor, axes=(ax1, ax2))
+    else:
+        t = jnp.trace(node.tensor, axis1=ax1, axis2=ax2)
     new_node = Node(t, name=name)
     rest = [e for i, e in enumerate(node.edges) if i not in (ax1, ax2)]
     for new_axis, e in enumerate(rest):

@@ -14,8 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tensornetwork_tpu.core.network import (
-    AbstractNode, CopyNode, Edge, Node, connect, contract_parallel,
-    get_all_edges, get_all_dangling)
+    AbstractNode, CopyNode, Edge, Node, _is_blocksparse, connect,
+    contract_parallel, get_all_edges, get_all_dangling)
 from tensornetwork_tpu.ops import decompositions as _decomp
 
 
@@ -120,6 +120,10 @@ def check_correct(nodes: Sequence[AbstractNode],
     """Graph invariants (reference ``network_operations.py:641``)."""
     for node in nodes:
         for axis, e in enumerate(node.edges):
+            if (e.node2 is None) != (e.axis2 is None):
+                raise ValueError(
+                    f"edge {e.name} is malformed: node2/axis2 must both "
+                    f"be set or both be None")
             if e.node1 is not node and e.node2 is not node:
                 raise ValueError(
                     f"edge {e.name} at axis {axis} of node {node.name} "
@@ -190,6 +194,34 @@ def redirect_edge(edge: Edge, new_node: AbstractNode,
 # ---------------------------------------------------------------------------
 
 
+def _bst_split_svd(t, n_left, max_singular_values=None,
+                   max_truncation_err=None, relative=False):
+    """Truncated SVD of a BlockSparseTensor split into (left, right) leg
+    groups through the graph API (reference
+    ``tests/split_node_symmetric_test.py`` scenarios): fuse each side,
+    run the sector SVD with global cross-sector truncation, unfuse."""
+    import numpy as _np
+    from tensornetwork_tpu.blocksparse import linalg as bsl
+    left_dims = t.shape[:n_left]
+    right_dims = t.shape[n_left:]
+    m = t.reshape((int(_np.prod(left_dims)), int(_np.prod(right_dims))))
+    U, S, V, s_rest = bsl.truncated_svd(
+        m, max_singular_values=max_singular_values,
+        max_truncation_error=max_truncation_err, relative=relative)
+    k = U.shape[1]
+    u = U.reshape(tuple(left_dims) + (k,))
+    vh = V.reshape((k,) + tuple(right_dims))
+    return u, S, vh, s_rest
+
+
+def _bst_sqrt_diag(S):
+    """diag(sqrt(S)) for a singular-value ChargeArray."""
+    import numpy as _np
+    from tensornetwork_tpu.blocksparse import linalg as bsl
+    S_sqrt = type(S)(_np.sqrt(_np.asarray(S.data)), S._charges, S._flows)
+    return bsl.diag(S_sqrt)
+
+
 def _prepare_split(node: AbstractNode, left_edges: Sequence[Edge],
                    right_edges: Sequence[Edge]):
     if set(left_edges) | set(right_edges) != set(node.edges) or \
@@ -232,13 +264,22 @@ def split_node(
     """Truncated-SVD split: returns ``(U·sqrt(S), sqrt(S)·V†, s_rest)``
     (reference ``network_operations.py:130``)."""
     t = _prepare_split(node, left_edges, right_edges)
-    u, s, vh, s_rest = _decomp.svd(
-        t, pivot_axis=len(left_edges),
-        max_singular_values=max_singular_values,
-        max_truncation_error=max_truncation_err, relative=relative)
-    sqrt_s = jnp.sqrt(s)
-    u = u * sqrt_s
-    vh = vh * sqrt_s.reshape((-1,) + (1,) * (vh.ndim - 1))
+    if _is_blocksparse(t):
+        from tensornetwork_tpu.blocksparse.tensor import tensordot as btd
+        u0, S, vh0, s_rest = _bst_split_svd(
+            t, len(left_edges), max_singular_values, max_truncation_err,
+            relative)
+        D = _bst_sqrt_diag(S)
+        u = btd(u0, D, [[u0.ndim - 1], [0]])
+        vh = btd(D, vh0, [[1], [0]])
+    else:
+        u, s, vh, s_rest = _decomp.svd(
+            t, pivot_axis=len(left_edges),
+            max_singular_values=max_singular_values,
+            max_truncation_error=max_truncation_err, relative=relative)
+        sqrt_s = jnp.sqrt(s)
+        u = u * sqrt_s
+        vh = vh * sqrt_s.reshape((-1,) + (1,) * (vh.ndim - 1))
     left, right, _ = _finish_split(node, left_edges, right_edges, u, vh,
                                    left_name, right_name, edge_name)
     return left, right, s_rest
@@ -260,12 +301,20 @@ def split_node_full_svd(
     """Returns ``(U, S-node, V†, s_rest)`` (reference
     ``network_operations.py:446``)."""
     t = _prepare_split(node, left_edges, right_edges)
-    u, s, vh, s_rest = _decomp.svd(
-        t, pivot_axis=len(left_edges),
-        max_singular_values=max_singular_values,
-        max_truncation_error=max_truncation_err, relative=relative)
+    if _is_blocksparse(t):
+        from tensornetwork_tpu.blocksparse import linalg as bsl
+        u, S, vh, s_rest = _bst_split_svd(
+            t, len(left_edges), max_singular_values, max_truncation_err,
+            relative)
+        middle_t = bsl.diag(S)
+    else:
+        u, s, vh, s_rest = _decomp.svd(
+            t, pivot_axis=len(left_edges),
+            max_singular_values=max_singular_values,
+            max_truncation_error=max_truncation_err, relative=relative)
+        middle_t = jnp.diag(s)
     left = Node(u, name=left_name)
-    middle = Node(jnp.diag(s), name=middle_name)
+    middle = Node(middle_t, name=middle_name)
     right = Node(vh, name=right_name)
     for i, e in enumerate(left_edges):
         old_axis = e.axis1 if e.node1 is node else e.axis2
@@ -292,7 +341,10 @@ def split_node_qr(
 ) -> Tuple[Node, Node]:
     """(reference ``network_operations.py:258``)"""
     t = _prepare_split(node, left_edges, right_edges)
-    q, r = _decomp.qr(t, pivot_axis=len(left_edges))
+    if _is_blocksparse(t):
+        q, r = _bst_split_qr(t, len(left_edges))
+    else:
+        q, r = _decomp.qr(t, pivot_axis=len(left_edges))
     left, right, _ = _finish_split(node, left_edges, right_edges, q, r,
                                    left_name, right_name, edge_name)
     return left, right
@@ -308,10 +360,41 @@ def split_node_rq(
 ) -> Tuple[Node, Node]:
     """(reference ``network_operations.py:351``)"""
     t = _prepare_split(node, left_edges, right_edges)
-    r, q = _decomp.rq(t, pivot_axis=len(left_edges))
+    if _is_blocksparse(t):
+        r, q = _bst_split_rq(t, len(left_edges))
+    else:
+        r, q = _decomp.rq(t, pivot_axis=len(left_edges))
     left, right, _ = _finish_split(node, left_edges, right_edges, r, q,
                                    left_name, right_name, edge_name)
     return left, right
+
+
+def _bst_split_qr(t, n_left):
+    import numpy as _np
+    from tensornetwork_tpu.blocksparse import linalg as bsl
+    left_dims = t.shape[:n_left]
+    right_dims = t.shape[n_left:]
+    m = t.reshape((int(_np.prod(left_dims)), int(_np.prod(right_dims))))
+    Q, R = bsl.qr(m)
+    k = Q.shape[1]
+    return (Q.reshape(tuple(left_dims) + (k,)),
+            R.reshape((k,) + tuple(right_dims)))
+
+
+def _bst_split_rq(t, n_left):
+    """RQ via QR of the transpose: m^T = Q_t R_t  =>  m = R_t^T Q_t^T,
+    with Q_t^T row-isometric (the blocksparse layer ships QR only)."""
+    import numpy as _np
+    from tensornetwork_tpu.blocksparse import linalg as bsl
+    left_dims = t.shape[:n_left]
+    right_dims = t.shape[n_left:]
+    m = t.reshape((int(_np.prod(left_dims)), int(_np.prod(right_dims))))
+    Qt, Rt = bsl.qr(m.transpose((1, 0)))
+    r = Rt.transpose((1, 0))
+    q = Qt.transpose((1, 0))
+    k = q.shape[0]
+    return (r.reshape(tuple(left_dims) + (k,)),
+            q.reshape((k,) + tuple(right_dims)))
 
 
 def reduced_density(traced_out_edges: Sequence[Edge]
