@@ -1,11 +1,15 @@
 #!/usr/bin/env python
 """Communication volume of the EP (sector-sharded) symmetric DMRG sweep.
 
-The EP executor reassembles each contraction's disjoint sector outputs
-with ONE psum of the output data vector (jax_engine._make_executor,
-ep mode).  This script walks the one-site sweep's contraction chain and
-sums the psum payloads — the structural comm-volume number BASELINE.md
-quotes (VERDICT r2 item 2).  Pure host metadata; no devices needed.
+Round-3 model (per-contraction executor): every contraction reassembles
+its full output with a psum — the m=10 Lanczos chain paid a
+full-INTERMEDIATE psum per matvec stage (257.5 MB/sweep at chi=1024
+N=16 B=8; BASELINE.md).  Round-4 model (fused chain executor,
+`jax_engine.make_chain_executor`, VERDICT r3 item 2): dependency
+components are device-assigned so stages 2..n are device-local and the
+only collective is ONE psum of the final (site-tensor-sized) output per
+matvec / env-growth chain.  This script computes BOTH payloads and the
+reduction factor.  Pure host metadata; no devices needed.
 
 Usage: python benchmarks/ep_comm_volume.py [--N 16] [--chi 1024] [--B 8]
 """
@@ -52,7 +56,8 @@ def main():
         plan = JE._build_plan(s1, s2, axes1, axes2)
         return (0 if plan["scalar"] else plan["out"]["nnz"]), plan
 
-    total = 0
+    total_old = 0
+    total_new = 0
     mps_nnz = sum(t.data.shape[0] for t in skel)
     for site in range(N):
         for direction in ("right", "left"):
@@ -62,14 +67,16 @@ def main():
                 continue
             A, W = skel[site], mpo[site]
             L, R = Lsk[site], Rsk[site + 1]
-            # matvec chain: L·x, ·W, ·R — one psum each, m times
+            # matvec chain: L·x, ·W, ·R — old: one psum each, m times;
+            # new (fused chain): one psum of the final y only
             n1, p1 = out_nnz(L, A, [0], [0])
             t1 = _skel_of(p1)
             n2, p2 = out_nnz(t1, W, [0, 2], [0, 3])
             t2 = _skel_of(p2)
             n3, _ = out_nnz(t2, R, [1, 2], [0, 1])
-            site_psum = m * (n1 + n2 + n3)
-            # absorb + env growth (3 contractions)
+            site_old = m * (n1 + n2 + n3)
+            site_new = m * n3
+            # absorb (single contraction, unchanged) + env growth chain
             bond = _bond_matrix_skeleton(
                 A.flat_charges[2 if direction == "right" else 0],
                 np.float32)
@@ -78,19 +85,24 @@ def main():
                 na, _ = out_nnz(bond, nxt, [1], [0])
             else:
                 na, _ = out_nnz(nxt, bond, [2], [0])
-            ne = n1 + n2 + A.data.shape[0]  # growth chain outputs ~ same
-            site_psum += na + ne
-            total += site_psum
-    payload = total * 4 * B          # f32, per realization batch
+            n_env = Lsk[site + 1].data.shape[0] if direction == "right" \
+                else Rsk[site].data.shape[0]
+            site_old += na + (n1 + n2 + A.data.shape[0])
+            site_new += na + n_env
+            total_old += site_old
+            total_new += site_new
     print(f"config N={N} chi={chi} B={B} m={m}")
     print(f"MPS nnz total: {mps_nnz} ({mps_nnz * 4 / 1e6:.2f} MB f32 "
           f"per realization)")
-    print(f"EP psum payload per one-site sweep: {payload / 1e6:.1f} MB "
-          f"(logical; ring all-reduce wire cost ~2x(n-1)/n of that per "
-          f"device)")
-    print(f"  = {total * 4 / 1e6:.2f} MB per realization "
-          f"({total / mps_nnz:.0f}x the MPS nnz — dominated by the "
-          f"m={m} Lanczos matvec chain reassemblies)")
+    for name, total in (("per-contraction (r3)", total_old),
+                        ("fused chain (r4)", total_new)):
+        payload = total * 4 * B      # f32, per realization batch
+        print(f"EP psum payload per one-site sweep [{name}]: "
+              f"{payload / 1e6:.1f} MB logical "
+              f"(= {total * 4 / 1e6:.2f} MB per realization, "
+              f"{total / mps_nnz:.0f}x the MPS nnz)")
+    print(f"reduction: {total_old / total_new:.1f}x "
+          f"(ring all-reduce wire cost ~2x(n-1)/n of payload per device)")
 
 
 def _skel_of(plan):

@@ -273,6 +273,30 @@ def contraction_plan(skel1: BlockSparseTensor, skel2: BlockSparseTensor,
                          else _skel_of_plan_out(plan))
 
 
+def chain_contraction_plan(stages, ep, precision: str = "highest"):
+    """Fused EP executor for a chain of contractions (VERDICT r3 item 2).
+
+    ``stages``: list of ``(skel1, skel2, axes)`` where ``skel1 is None``
+    for stages after the first (the through-operand = previous output).
+    ``ep=(ndev, axis_name)``.  Returns ``(run, out_skel)``;
+    ``run(d1_0, d2_0, d2_1, ..., d2_{n-1})`` must execute inside a
+    ``shard_map`` over ``axis_name`` with replicated operands and issues
+    ONE ``psum`` (final output only) for the whole chain — vs one
+    full-intermediate psum per contraction in the per-contraction EP
+    executor.  Bit-identical to the single-device chain: whole
+    dependency components are device-assigned, so per-device partials
+    have disjoint support.
+    """
+    from tensornetwork_tpu.blocksparse import jax_engine as JE
+    specs = []
+    for (s1, s2, axes) in stages:
+        if isinstance(axes, int):
+            raise ValueError("chain stages need explicit axes lists")
+        axes1, axes2 = [list(a) for a in axes]
+        specs.append((s1, s2, axes1, axes2))
+    return JE.make_chain_executor(specs, ep[0], ep[1], precision)
+
+
 class TwoSiteSplitPlan:
     """Batched sector-SVD split of a two-site block back onto the fixed
     bond profile.

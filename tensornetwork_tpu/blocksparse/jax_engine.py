@@ -414,3 +414,256 @@ def from_device(t: BlockSparseTensor) -> BlockSparseTensor:
 
 def clear_plan_cache():
     _PLAN_CACHE.clear()
+    _CHAIN_CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
+# EP fused-chain executor (VERDICT r3 item 2)
+#
+# The per-contraction EP executor above reassembles EVERY intermediate
+# with a full-size psum — for the DMRG H_eff matvec chain that is
+# ~(2*Dw+1) x nnz(x) of payload per matvec (BASELINE.md: 257.5 MB per
+# batched sweep at chi=1024, 232x the MPS nnz).  Cross-device reduction
+# belongs at sector-partial boundaries (SURVEY §2.10.2): a chain of
+# contractions y = C_n(...C_2(C_1(a, b), e_2)..., e_n) is LINEAR in the
+# through-operand, and its (stage, sector) dependency graph — sector s
+# of stage k reads intermediate positions written by sectors of stage
+# k-1 — decomposes into connected components (for the DMRG chain these
+# are the classes of the persistent free-leg charge).  Each component is
+# closed under reads, so assigning WHOLE components to devices makes
+# stages 2..n device-local: the only collective is ONE psum of the final
+# (x-sized) output per chain, and the result is bit-identical to the
+# single-device program (disjoint-support summands).
+# ---------------------------------------------------------------------------
+
+_CHAIN_CACHE: "OrderedDict" = OrderedDict()
+_CHAIN_CACHE_CAPACITY = 64
+
+
+def _out_skel_of_raw(raw):
+    """Skeleton tensor for a raw plan's output (host metadata only)."""
+    o = raw["out"]
+    t = BlockSparseTensor.__new__(BlockSparseTensor)
+    t.data = np.zeros(o["nnz"], np.float32)
+    t._charges = [c.copy() for c in o["charges"]]
+    t._flows = list(o["flows"])
+    t._order = [list(g) for g in o["order"]]
+    return t
+
+
+class _UnionFind:
+    def __init__(self, n: int):
+        self.p = np.arange(n)
+
+    def find(self, i: int) -> int:
+        p = self.p
+        root = i
+        while p[root] != root:
+            root = p[root]
+        while p[i] != root:
+            p[i], i = root, p[i]
+        return root
+
+    def union(self, a: int, b: int):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[rb] = ra
+
+
+def _partition_chain(raws, ndev: int):
+    """Assign every (stage, sector) to a device.
+
+    Components of the read/write dependency graph are FLOP-weighted and
+    greedily bin-packed onto ``ndev`` devices (heaviest first).  Sectors
+    whose through-operand input is structurally never written are dead
+    (contribute exact zeros) and dropped; sectors whose output is never
+    read by any live downstream sector are pruned backwards.
+
+    Returns ``assign``: list over stages of int arrays (device id per
+    sector, -1 = dropped).
+    """
+    n_stages = len(raws)
+    counts = [len(r["sectors"]) for r in raws]
+    offsets = np.cumsum([0] + counts)
+    uf = _UnionFind(offsets[-1])
+    live = [np.ones(c, bool) for c in counts]
+
+    prev_writer = None
+    for k, raw in enumerate(raws):
+        if k > 0:
+            perm = raw["perm1"]
+            for t, (m1, _m2, _mo, _s1, _s2) in enumerate(raw["sectors"]):
+                pos = m1.ravel()
+                if perm is not None:
+                    pos = perm[pos]
+                ws = np.unique(prev_writer[pos])
+                ws = ws[ws >= 0]
+                if ws.size == 0:
+                    live[k][t] = False
+                    continue
+                for w in ws:
+                    uf.union(offsets[k] + t, offsets[k - 1] + int(w))
+        wv = np.full(raw["out"]["nnz"], -1, np.int64)
+        for t, (_m1, _m2, mo, _s1, _s2) in enumerate(raw["sectors"]):
+            if live[k][t]:
+                wv[mo.ravel()] = t
+        prev_writer = wv
+
+    # backward prune: a sector below the last stage whose output no live
+    # downstream sector reads only produces dead intermediates
+    for k in range(n_stages - 2, -1, -1):
+        nxt = raws[k + 1]
+        perm = nxt["perm1"]
+        read = np.zeros(raws[k]["out"]["nnz"], bool)
+        for t, (m1, _m2, _mo, _s1, _s2) in enumerate(nxt["sectors"]):
+            if live[k + 1][t]:
+                pos = m1.ravel()
+                if perm is not None:
+                    pos = perm[pos]
+                read[pos] = True
+        for t, (_m1, _m2, mo, _s1, _s2) in enumerate(raws[k]["sectors"]):
+            if live[k][t] and not read[mo.ravel()].any():
+                live[k][t] = False
+
+    comp_weight: dict = {}
+    comp_nodes: dict = {}
+    for k, raw in enumerate(raws):
+        for t, (_m1, _m2, _mo, s1, s2) in enumerate(raw["sectors"]):
+            if not live[k][t]:
+                continue
+            root = uf.find(offsets[k] + t)
+            w = 2 * s1[0] * s1[1] * s2[1]  # GEMM flops
+            comp_weight[root] = comp_weight.get(root, 0) + w
+            comp_nodes.setdefault(root, []).append((k, t))
+    bins = np.zeros(ndev, np.float64)
+    dev_of_comp = {}
+    for root in sorted(comp_weight, key=comp_weight.get, reverse=True):
+        d = int(np.argmin(bins))
+        bins[d] += comp_weight[root]
+        dev_of_comp[root] = d
+    assign = [np.full(c, -1, np.int32) for c in counts]
+    for root, nodes in comp_nodes.items():
+        d = dev_of_comp[root]
+        for k, t in nodes:
+            assign[k][t] = d
+    return assign, bins
+
+
+def _stacked_stage_buckets(raw, assign_k, ndev: int):
+    """Per-device sub-plans packed as device-indexed constant arrays.
+
+    Every device runs the SAME program; device d's sector set enters as
+    the leading axis of the (ndev, G, ...) index tensors, selected by
+    ``axis_index``.  Per-device group counts are padded to the per-key
+    max with sentinel indices (reads hit the appended zero slot, writes
+    the dummy output tail) — no lax.switch, one compiled body.
+    """
+    nnz1, nnz2 = raw["nnz1"], raw["nnz2"]
+    out_nnz = raw["out"]["nnz"]
+    per_dev = []
+    for d in range(ndev):
+        sub = dict(raw)
+        sub["sectors"] = [s for t, s in enumerate(raw["sectors"])
+                          if assign_k[t] == d]
+        per_dev.append({(b["R"], b["K"], b["C"]): b
+                        for b in _build_buckets(sub, windows=False)})
+    keys = sorted({k for bd in per_dev for k in bd})
+    stages = []
+    for (R, K, C) in keys:
+        gmax = max((bd[(R, K, C)]["M1"].shape[0]
+                    for bd in per_dev if (R, K, C) in bd), default=0)
+        if gmax == 0:
+            continue
+        M1 = np.full((ndev, gmax, R, K), nnz1, np.int32)
+        M2 = np.full((ndev, gmax, K, C), nnz2, np.int32)
+        MO = np.full((ndev, gmax, R, C), out_nnz, np.int32)
+        for d, bd in enumerate(per_dev):
+            b = bd.get((R, K, C))
+            if b is None:
+                continue
+            g = b["M1"].shape[0]
+            M1[d, :g] = b["M1"]
+            M2[d, :g] = b["M2"]
+            MO[d, :g] = b["MO"]
+        stages.append(dict(M1=jnp.asarray(M1), M2=jnp.asarray(M2),
+                           MO=jnp.asarray(MO)))
+    return stages
+
+
+def make_chain_executor(specs, ndev: int, axis_name: str,
+                        precision: str = "highest"):
+    """Fused EP executor for a contraction chain.
+
+    ``specs``: list of ``(skel1, skel2, axes1, axes2)``; for stages
+    after the first, ``skel1`` may be ``None`` (the previous stage's
+    output — the through-operand).  Returns ``(run, out_skel)`` where
+    ``run(d1_0, d2_0, d2_1, ..., d2_{n-1})`` maps flat data vectors to
+    the final output data vector, must execute inside a ``shard_map``
+    over ``axis_name`` with replicated operands, and issues exactly ONE
+    ``psum`` (of the final output) for the whole chain.
+    """
+    raws = []
+    prev_out = None
+    key_parts = []
+    for k, (s1, s2, a1, a2) in enumerate(specs):
+        if s1 is None:
+            if k == 0:
+                raise ValueError("stage 0 needs an explicit first operand")
+            s1 = prev_out
+        raw = _build_plan(s1, s2, list(a1), list(a2))
+        if raw["scalar"]:
+            raise ValueError("chain stages must produce tensors")
+        key_parts.append((_structure_key(s1), _structure_key(s2),
+                          tuple(a1), tuple(a2)))
+        raws.append(raw)
+        prev_out = _out_skel_of_raw(raw)
+    key = (tuple(key_parts), ndev, axis_name, precision)
+    cached = _CHAIN_CACHE.get(key)
+    if cached is not None:
+        _CHAIN_CACHE.move_to_end(key)
+        return cached["run"], cached["out_skel"]
+
+    assign, _bins = _partition_chain(raws, ndev)
+    stage_meta = []
+    for k, raw in enumerate(raws):
+        stage_meta.append(dict(
+            jx=_stacked_stage_buckets(raw, assign[k], ndev),
+            jp1=None if raw["perm1"] is None else jnp.asarray(raw["perm1"]),
+            jp2=None if raw["perm2"] is None else jnp.asarray(raw["perm2"]),
+            out_nnz=raw["out"]["nnz"]))
+
+    def _apply(st, d1, d2, idx, acc_dtype):
+        d1p = d1 if st["jp1"] is None else d1[st["jp1"]]
+        d2p = d2 if st["jp2"] is None else d2[st["jp2"]]
+        d1x = jnp.concatenate([d1p, jnp.zeros(1, d1.dtype)])
+        d2x = jnp.concatenate([d2p, jnp.zeros(1, d2.dtype)])
+        out = jnp.zeros(st["out_nnz"] + 1, acc_dtype)
+        for b in st["jx"]:
+            b1 = d1x[b["M1"][idx]]
+            b2 = d2x[b["M2"][idx]]
+            out = out.at[b["MO"][idx]].set(
+                jnp.matmul(b1, b2).astype(acc_dtype))
+        return out[:-1]
+
+    def run(*data):
+        if len(data) != len(raws) + 1:
+            raise TypeError(
+                f"chain executor takes {len(raws) + 1} data vectors")
+        idx = jax.lax.axis_index(axis_name)
+        acc_dtype = data[0].dtype
+        for d in data[1:]:
+            acc_dtype = jnp.result_type(acc_dtype, d.dtype)
+        with jax.default_matmul_precision(precision):
+            cur = _apply(stage_meta[0], data[0], data[1], idx, acc_dtype)
+            for k in range(1, len(raws)):
+                cur = _apply(stage_meta[k], cur, data[k + 1], idx,
+                             acc_dtype)
+        # per-device partials have disjoint support (components are
+        # closed under reads): the sum IS the exact reassembly
+        return jax.lax.psum(cur, axis_name)
+
+    out_skel = prev_out
+    _CHAIN_CACHE[key] = dict(run=run, out_skel=out_skel)
+    while len(_CHAIN_CACHE) > _CHAIN_CACHE_CAPACITY:
+        _CHAIN_CACHE.popitem(last=False)
+    return run, out_skel

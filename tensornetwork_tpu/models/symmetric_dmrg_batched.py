@@ -72,12 +72,22 @@ class _SiteProgram:
         self.m = num_krylov_vecs
         ep = (None if ep_mesh is None
               else (ep_mesh.shape[ep_axis], ep_axis))
-        # matvec chain plans (single instance; vmapped by the jit below)
-        self.mv1, t1 = contraction_plan(L_skel, A_skel, [[0], [0]], ep=ep)
-        self.mv2, t2 = contraction_plan(t1, W_skel, [[0, 2], [0, 3]],
-                                        ep=ep)
-        self.mv3, y_skel = contraction_plan(t2, R_skel, [[1, 2], [0, 1]],
-                                            ep=ep)
+        # matvec chain plans (single instance; vmapped by the jit below).
+        # EP runs the whole chain FUSED: sectors partitioned by
+        # dependency component, ONE final psum per matvec instead of a
+        # full-intermediate psum per contraction (VERDICT r3 item 2)
+        if ep is None:
+            self.mv1, t1 = contraction_plan(L_skel, A_skel, [[0], [0]])
+            self.mv2, t2 = contraction_plan(t1, W_skel, [[0, 2], [0, 3]])
+            self.mv3, y_skel = contraction_plan(t2, R_skel,
+                                                [[1, 2], [0, 1]])
+        else:
+            from tensornetwork_tpu.blocksparse.batched import (
+                chain_contraction_plan)
+            self.mv_chain, y_skel = chain_contraction_plan(
+                [(L_skel, A_skel, [[0], [0]]),
+                 (None, W_skel, [[0, 2], [0, 3]]),
+                 (None, R_skel, [[1, 2], [0, 1]])], ep=ep)
         if y_skel.data.shape != A_skel.data.shape:
             raise AssertionError("matvec output layout mismatch")
         self.shift = ShiftPlan(A_skel, direction)
@@ -86,32 +96,52 @@ class _SiteProgram:
             # absorb P into the next site from the left: P·A_next
             self.absorb, abs_out = contraction_plan(
                 bond_skel, A_next_skel, [[1], [0]], ep=ep)
-            # grow the left environment with the isometric Q
-            self.g1, e1 = contraction_plan(L_skel, A_skel, [[0], [0]],
-                                           ep=ep)
-            self.g2, e2 = contraction_plan(e1, W_skel, [[0, 2], [0, 3]],
-                                           ep=ep)
-            # conj flips all flows (metadata-only for real data; layout
-            # is invariant under a global flow flip)
-            self.g3, self.env_out_skel = contraction_plan(
-                e2, A_skel.conj(), [[0, 3], [0, 1]], ep=ep)
         else:
             # absorb P into the previous site from the right: A_prev·P
             self.absorb, abs_out = contraction_plan(
                 A_next_skel, bond_skel, [[2], [0]], ep=ep)
-            self.g1, e1 = contraction_plan(A_skel, R_skel, [[2], [0]],
-                                           ep=ep)
-            self.g2, e2 = contraction_plan(e1, W_skel, [[1, 2], [3, 1]],
-                                           ep=ep)
+        if direction == "right":
+            grow_stages = [(L_skel, A_skel, [[0], [0]]),
+                           (None, W_skel, [[0, 2], [0, 3]]),
+                           # conj flips all flows (metadata-only for real
+                           # data; layout is invariant under a global
+                           # flow flip)
+                           (None, A_skel.conj(), [[0, 3], [0, 1]])]
+        else:
+            grow_stages = [(A_skel, R_skel, [[2], [0]]),
+                           (None, W_skel, [[1, 2], [3, 1]]),
+                           (None, A_skel.conj(), [[1, 3], [2, 1]])]
+        if ep is None:
+            self.g1, e1 = contraction_plan(*grow_stages[0][:2],
+                                           grow_stages[0][2])
+            self.g2, e2 = contraction_plan(e1, grow_stages[1][1],
+                                           grow_stages[1][2])
             self.g3, self.env_out_skel = contraction_plan(
-                e2, A_skel.conj(), [[1, 3], [2, 1]], ep=ep)
+                e2, grow_stages[2][1], grow_stages[2][2])
+        else:
+            self.g_chain, self.env_out_skel = chain_contraction_plan(
+                grow_stages, ep=ep)
         if abs_out.data.shape != A_next_skel.data.shape:
             raise AssertionError("absorb output layout mismatch")
         ritz = ritz_method
 
         def step(dA, dA_next, dW, dL, dR):
+            # the contraction executors force highest internally, but the
+            # gauge polar iterations, Lanczos recurrence dots and norms
+            # here would otherwise run at DEFAULT precision — on TPU that
+            # is the documented non-variational-energy trap (BASELINE.md
+            # gauge-precision A/B; observed live: N=6 chi=16 XXZ sweeps
+            # converge BELOW the exact ground state without this wrap)
+            with jax.default_matmul_precision("highest"):
+                return _step_body(dA, dA_next, dW, dL, dR)
+
+        def _step_body(dA, dA_next, dW, dL, dR):
             def solve(da, dw, dl, dr):
-                mv = lambda x: self.mv3(self.mv2(self.mv1(dl, x), dw), dr)
+                if ep is None:
+                    mv = lambda x: self.mv3(
+                        self.mv2(self.mv1(dl, x), dw), dr)
+                else:
+                    mv = lambda x: self.mv_chain(dl, x, dw, dr)
                 evals, evecs = krylov.eigsh_lanczos(
                     mv, da, num_krylov_vecs=self.m, numeig=1,
                     ritz_method=ritz, reorthogonalize=reorth)
@@ -127,6 +157,10 @@ class _SiteProgram:
             dA_next2 = dA_next2 / jnp.where(nrm > 0, nrm, 1.0)
 
             def grow(dq, dw, denv):
+                if ep is not None:
+                    if direction == "right":
+                        return self.g_chain(denv, dq, dw, dq)
+                    return self.g_chain(dq, denv, dw, dq)
                 if direction == "right":
                     return self.g3(self.g2(self.g1(denv, dq), dw), dq)
                 return self.g3(self.g2(self.g1(dq, denv), dw), dq)
@@ -255,24 +289,37 @@ class BatchedSymmetricDMRG:
                 A_prev_skel, shift.bond_skel, [[2], [0]], ep=ep)
             if abs_out.data.shape != A_prev_skel.data.shape:
                 raise AssertionError("canon absorb layout mismatch")
-            g1, e1 = contraction_plan(A_skel, self._Rskel[site + 1],
-                                      [[2], [0]], ep=ep)
-            g2, e2 = contraction_plan(e1, self.mpo[site], [[1, 2], [3, 1]],
-                                      ep=ep)
-            g3, env_out = contraction_plan(e2, A_skel.conj(),
-                                           [[1, 3], [2, 1]], ep=ep)
+            grow_stages = [(A_skel, self._Rskel[site + 1], [[2], [0]]),
+                           (None, self.mpo[site], [[1, 2], [3, 1]]),
+                           (None, A_skel.conj(), [[1, 3], [2, 1]])]
+            if ep is None:
+                g1, e1 = contraction_plan(*grow_stages[0][:2],
+                                          grow_stages[0][2])
+                g2, e2 = contraction_plan(e1, grow_stages[1][1],
+                                          grow_stages[1][2])
+                g3, env_out = contraction_plan(e2, grow_stages[2][1],
+                                               grow_stages[2][2])
+            else:
+                from tensornetwork_tpu.blocksparse.batched import (
+                    chain_contraction_plan)
+                g_chain, _ = chain_contraction_plan(grow_stages, ep=ep)
 
             def run(dA, dA_prev, dW, dR):
-                qd, pd = shift(dA)
-                dA_prev2 = jax.vmap(absorb)(dA_prev, pd)
-                nrm = jnp.linalg.norm(dA_prev2, axis=-1, keepdims=True)
-                dA_prev2 = dA_prev2 / jnp.where(nrm > 0, nrm, 1.0)
+                # gauge polar precision trap — see _SiteProgram.step
+                with jax.default_matmul_precision("highest"):
+                    qd, pd = shift(dA)
+                    dA_prev2 = jax.vmap(absorb)(dA_prev, pd)
+                    nrm = jnp.linalg.norm(dA_prev2, axis=-1,
+                                          keepdims=True)
+                    dA_prev2 = dA_prev2 / jnp.where(nrm > 0, nrm, 1.0)
 
-                def grow(dq, dw, dr):
-                    return g3(g2(g1(dq, dr), dw), dq)
+                    def grow(dq, dw, dr):
+                        if ep is not None:
+                            return g_chain(dq, dr, dw, dq)
+                        return g3(g2(g1(dq, dr), dw), dq)
 
-                dR_new = jax.vmap(grow)(qd, dW, dR)
-                return qd, dA_prev2, dR_new
+                    dR_new = jax.vmap(grow)(qd, dW, dR)
+                    return qd, dA_prev2, dR_new
 
             if self.ep_mesh is None:
                 run_c = jax.jit(run)
@@ -649,40 +696,60 @@ class _BondProgram:
               else (ep_mesh.shape[ep_axis], ep_axis))
         self.theta, theta_skel = contraction_plan(A_skel, B_skel,
                                                   [[2], [0]], ep=ep)
-        # two-site effective-H matvec chain on theta (l, s, t, r)
-        self.mv1, t1 = contraction_plan(L_skel, theta_skel, [[0], [0]],
-                                        ep=ep)
-        self.mv2, t2 = contraction_plan(t1, W1_skel, [[0, 2], [0, 3]],
-                                        ep=ep)
-        self.mv3, t3 = contraction_plan(t2, W2_skel, [[3, 1], [0, 3]],
-                                        ep=ep)
-        self.mv4, y_skel = contraction_plan(t3, R_skel, [[1, 3], [0, 1]],
-                                            ep=ep)
+        # two-site effective-H matvec chain on theta (l, s, t, r).
+        # EP: fused chain, ONE theta-sized psum per matvec instead of a
+        # full-intermediate psum per contraction (VERDICT r3 item 2)
+        if ep is None:
+            self.mv1, t1 = contraction_plan(L_skel, theta_skel,
+                                            [[0], [0]])
+            self.mv2, t2 = contraction_plan(t1, W1_skel, [[0, 2], [0, 3]])
+            self.mv3, t3 = contraction_plan(t2, W2_skel, [[3, 1], [0, 3]])
+            self.mv4, y_skel = contraction_plan(t3, R_skel,
+                                                [[1, 3], [0, 1]])
+        else:
+            from tensornetwork_tpu.blocksparse.batched import (
+                chain_contraction_plan)
+            self.mv_chain, y_skel = chain_contraction_plan(
+                [(L_skel, theta_skel, [[0], [0]]),
+                 (None, W1_skel, [[0, 2], [0, 3]]),
+                 (None, W2_skel, [[3, 1], [0, 3]]),
+                 (None, R_skel, [[1, 3], [0, 1]])], ep=ep)
         if y_skel.data.shape != theta_skel.data.shape:
             raise AssertionError("2s matvec output layout mismatch")
         self.split = TwoSiteSplitPlan(theta_skel, A_skel, B_skel)
         if direction == "right":
-            self.g1, e1 = contraction_plan(L_skel, A_skel, [[0], [0]],
-                                           ep=ep)
-            self.g2, e2 = contraction_plan(e1, W1_skel, [[0, 2], [0, 3]],
-                                           ep=ep)
-            self.g3, _ = contraction_plan(e2, A_skel.conj(),
-                                          [[0, 3], [0, 1]], ep=ep)
+            grow_stages = [(L_skel, A_skel, [[0], [0]]),
+                           (None, W1_skel, [[0, 2], [0, 3]]),
+                           (None, A_skel.conj(), [[0, 3], [0, 1]])]
         else:
-            self.g1, e1 = contraction_plan(B_skel, R_skel, [[2], [0]],
-                                           ep=ep)
-            self.g2, e2 = contraction_plan(e1, W2_skel, [[1, 2], [3, 1]],
-                                           ep=ep)
-            self.g3, _ = contraction_plan(e2, B_skel.conj(),
-                                          [[1, 3], [2, 1]], ep=ep)
+            grow_stages = [(B_skel, R_skel, [[2], [0]]),
+                           (None, W2_skel, [[1, 2], [3, 1]]),
+                           (None, B_skel.conj(), [[1, 3], [2, 1]])]
+        if ep is None:
+            self.g1, e1 = contraction_plan(*grow_stages[0][:2],
+                                           grow_stages[0][2])
+            self.g2, e2 = contraction_plan(e1, grow_stages[1][1],
+                                           grow_stages[1][2])
+            self.g3, _ = contraction_plan(e2, grow_stages[2][1],
+                                          grow_stages[2][2])
+        else:
+            self.g_chain, _ = chain_contraction_plan(grow_stages, ep=ep)
         ritz = ritz_method
         absorb = "right" if direction == "right" else "left"
 
         def step(dA, dB, dW1, dW2, dL, dR):
+            # gauge/SVD/Lanczos precision trap — see _SiteProgram.step
+            with jax.default_matmul_precision("highest"):
+                return _step_body(dA, dB, dW1, dW2, dL, dR)
+
+        def _step_body(dA, dB, dW1, dW2, dL, dR):
             def solve(da, db, dw1, dw2, dl, dr):
                 th0 = self.theta(da, db)
-                mv = lambda x: self.mv4(
-                    self.mv3(self.mv2(self.mv1(dl, x), dw1), dw2), dr)
+                if ep is None:
+                    mv = lambda x: self.mv4(
+                        self.mv3(self.mv2(self.mv1(dl, x), dw1), dw2), dr)
+                else:
+                    mv = lambda x: self.mv_chain(dl, x, dw1, dw2, dr)
                 evals, evecs = krylov.eigsh_lanczos(
                     mv, th0, num_krylov_vecs=self.m, numeig=1,
                     ritz_method=ritz, reorthogonalize=reorth)
@@ -694,6 +761,10 @@ class _BondProgram:
             ld, rd, terr = self.split(ths, absorb, ep=ep)
 
             def grow(dq, dw, denv):
+                if ep is not None:
+                    if direction == "right":
+                        return self.g_chain(denv, dq, dw, dq)
+                    return self.g_chain(dq, denv, dw, dq)
                 if direction == "right":
                     return self.g3(self.g2(self.g1(denv, dq), dw), dq)
                 return self.g3(self.g2(self.g1(dq, denv), dw), dq)

@@ -204,3 +204,70 @@ def test_ep_symmetric_dmrg_two_site_matches_single_device(mesh):
     np.testing.assert_allclose(es_ep, es_ref, atol=1e-5)
     np.testing.assert_allclose(ep.truncation_errors[-1],
                                ref.truncation_errors[-1], atol=1e-6)
+
+
+def test_ep_fused_chain_matches_sequential_exactly(mesh):
+    # VERDICT r3 item 2: the fused chain executor assigns whole
+    # dependency components to devices, so device partials have disjoint
+    # support and ONE final psum reassembles the chain EXACTLY (adding
+    # exact zeros) — assert equality against the sequential single-device
+    # executors and the numpy sector engine on the DMRG matvec chain.
+    from jax.sharding import PartitionSpec as P
+    from tensornetwork_tpu.blocksparse.batched import (
+        chain_contraction_plan, contraction_plan, uniform_skeleton_mps,
+        random_data_batch)
+    from tensornetwork_tpu.models.symmetric_dmrg import u1_xxz_mpo
+    from tensornetwork_tpu.models import symmetric_dmrg as SD
+    from tensornetwork_tpu.models.symmetric_dmrg_batched import (
+        _boundary_left_skel)
+    import jax.numpy as jnp
+
+    N, chi = 6, 12
+    skel = uniform_skeleton_mps(N, chi, dtype=np.float32)
+    mpo = u1_xxz_mpo(1.0, 1.0, 0.0, N)
+    Lsk = _boundary_left_skel(np.float32)
+    for k in range(2):
+        Lsk = SD._add_left(Lsk, skel[k], mpo[k])
+    from tensornetwork_tpu.models.symmetric_dmrg_batched import (
+        _boundary_right_skel)
+    Rsk = _boundary_right_skel(skel[-1].flat_charges[-1], np.float32)
+    for k in range(N - 1, 2, -1):
+        Rsk = SD._add_right(Rsk, skel[k], mpo[k])
+    A, W = skel[2], mpo[2]
+    stages = [(Lsk, A, [[0], [0]]),
+              (None, W, [[0, 2], [0, 3]]),
+              (None, Rsk, [[1, 2], [0, 1]])]
+    run_chain, y_skel = chain_contraction_plan(
+        stages, ep=(8, "ep"))
+    assert y_skel.data.shape == A.data.shape
+
+    # data
+    dx = random_data_batch([A], 1, seed=7)[0][0]
+    rngl = np.random.default_rng(3)
+    dl = rngl.standard_normal(Lsk.data.shape[0]).astype(np.float32)
+    dr = rngl.standard_normal(Rsk.data.shape[0]).astype(np.float32)
+    dw = np.asarray(W.data, np.float32)
+
+    fn = jax.jit(jax.shard_map(
+        lambda a, b, c, d: run_chain(a, b, c, d), mesh=mesh,
+        in_specs=(P(), P(), P(), P()), out_specs=P(), check_vma=False))
+    y_ep = np.asarray(fn(dl, dx, dw, dr))
+
+    # sequential single-device executors
+    mv1, t1 = contraction_plan(Lsk, A, [[0], [0]])
+    mv2, t2 = contraction_plan(t1, W, [[0, 2], [0, 3]])
+    mv3, _ = contraction_plan(t2, Rsk, [[1, 2], [0, 1]])
+    y_seq = np.asarray(mv3(mv2(mv1(jnp.asarray(dl), jnp.asarray(dx)),
+                              jnp.asarray(dw)), jnp.asarray(dr)))
+    np.testing.assert_allclose(y_ep, y_seq, rtol=0, atol=1e-6)
+
+    # numpy sector-engine oracle
+    from tensornetwork_tpu.blocksparse.tensor import BlockSparseTensor
+    def with_data(skel_t, d):
+        return BlockSparseTensor(np.asarray(d), skel_t._charges,
+                                 skel_t._flows,
+                                 [list(g) for g in skel_t._order])
+    o1 = bst.tensordot(with_data(Lsk, dl), with_data(A, dx), [[0], [0]])
+    o2 = bst.tensordot(o1, W, [[0, 2], [0, 3]])
+    o3 = bst.tensordot(o2, with_data(Rsk, dr), [[1, 2], [0, 1]])
+    np.testing.assert_allclose(y_ep, o3.data, rtol=0, atol=1e-5)
