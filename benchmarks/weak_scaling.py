@@ -111,7 +111,25 @@ def hlo_stats(args):
           f"collectives per sweep = {counts}, "
           f"{nbytes / 1e6:.2f} MB", flush=True)
     assert sum(counts.values()) > 0, "TP sweep should need collectives"
-    print("hlo-stats OK: DP communication-free, TP all-reduces as expected")
+
+    # --- SP: chain blocks distributed, ppermute env relays ---
+    from tensornetwork_tpu.parallel.sweep import DistributedDMRG
+    mesh_sp = make_mesh((n_dev,), ("sp",))
+    N_sp = max(args.N, 4 * n_dev)
+    keys = jax.random.split(jax.random.PRNGKey(2), 1)
+    As_sp = random_mps_stack(keys[0], N_sp, args.chi, 2, dtype)
+    mpo_sp = FiniteTFI(Jx=1.0, Bz=1.0, N=N_sp, dtype=dtype)
+    ddmrg = DistributedDMRG(As_sp, mpo_sp, mesh_sp, num_krylov_vecs=10)
+    lowered = ddmrg._step.lower(ddmrg.As, ddmrg.Ws, ddmrg.vL, ddmrg.vR)
+    txt = lowered.compile().as_text()
+    counts, nbytes = collective_stats(txt)
+    print(f"SP sweep ({n_dev} chain blocks, N={N_sp}, chi={args.chi}): "
+          f"collectives per outer iteration = {counts}, "
+          f"{nbytes / 1e6:.2f} MB", flush=True)
+    assert counts.get("collective-permute", 0) > 0, (
+        "SP sweep should relay envs via ppermute")
+    print("hlo-stats OK: DP communication-free, TP all-reduces, "
+          "SP ppermute relays — all axes recorded")
 
 
 def main():
