@@ -239,9 +239,20 @@ class QuOperator:
         return QuOperator.from_tensor(other) @ self
 
     def __mul__(self, scalar) -> "QuOperator":
-        """Scalar multiplication (reference ``quantum/quantum.py:364``)."""
+        """Scalar multiplication (reference ``quantum/quantum.py:364``).
+
+        Accepts python/numpy/jax scalars and ``QuScalar`` operands (the
+        reference multiplies lazy scalars by network composition)."""
+        if isinstance(scalar, QuOperator):
+            if not (scalar.is_scalar() or self.is_scalar()):
+                raise ValueError(
+                    "can only multiply by scalars (QuScalar or numeric)")
+            return self.tensor_product(scalar)
         if not np.isscalar(scalar) and not isinstance(
                 scalar, (jnp.ndarray, np.ndarray)):
+            raise ValueError("can only multiply by scalars")
+        if isinstance(scalar, (jnp.ndarray, np.ndarray)) and \
+                np.ndim(scalar) != 0:
             raise ValueError("can only multiply by scalars")
         nodes_dict, edge_dict = self.copy()
         s_node = Node(jnp.asarray(scalar).reshape(()))
