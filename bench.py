@@ -274,6 +274,56 @@ def main():
     except Exception as e:
         log(f"chi=512 probe failed: {type(e).__name__}: {e}")
 
+    # --- round-4 large-chi tiers: 2-site chi=512, 1-site chi=1024
+    # (doubly-chunked streamed matvec kernel; BASELINE.md) ---
+    try:
+        from tensornetwork_tpu.models.dmrg import two_site_sweep
+        As6 = random_mps_stack(jax.random.PRNGKey(7), N, 512, 2, dtype)
+        res6 = two_site_sweep(As6, mpo.Ws, mpo.vL, mpo.vR,
+                              num_krylov_vecs=6, trunc_impl="subspace",
+                              trunc_iters=2, trunc_orth="polar")
+        res6 = two_site_sweep(res6.As, mpo.Ws, mpo.vL, mpo.vR,
+                              num_krylov_vecs=6, trunc_impl="subspace",
+                              trunc_iters=2, trunc_orth="polar",
+                              renvs=res6.renvs)
+        jax.device_get(res6.energy)
+        As6, rv6 = res6.As, res6.renvs
+        t0 = time.perf_counter()
+        for _ in range(3):
+            res6 = two_site_sweep(As6, mpo.Ws, mpo.vL, mpo.vR,
+                                  num_krylov_vecs=6,
+                                  trunc_impl="subspace", trunc_iters=2,
+                                  trunc_orth="polar", renvs=rv6)
+            As6, rv6 = res6.As, res6.renvs
+        e6 = float(res6.energy)          # device_get anchors the chain
+        rate6 = 3 / (time.perf_counter() - t0)
+        log(f"chi=512 TWO-site single instance (streamed matvec kernel): "
+            f"{rate6:.2f} sweeps/s, E = {e6:.6f}")
+    except Exception as e:
+        log(f"chi=512 two-site probe failed: {type(e).__name__}: {e}")
+
+    try:
+        As7 = random_mps_stack(jax.random.PRNGKey(8), N, 1024, 2, dtype)
+        res7 = one_site_sweep(As7, mpo.Ws, mpo.vL, mpo.vR,
+                              num_krylov_vecs=m)
+        res7 = one_site_sweep(res7.As, mpo.Ws, mpo.vL, mpo.vR,
+                              num_krylov_vecs=m, renvs=res7.renvs)
+        jax.device_get(res7.energy)
+        As7, rv7 = res7.As, res7.renvs
+        t0 = time.perf_counter()
+        for _ in range(3):
+            res7 = one_site_sweep(As7, mpo.Ws, mpo.vL, mpo.vR,
+                                  num_krylov_vecs=m, renvs=rv7)
+            As7, rv7 = res7.As, res7.renvs
+        e7 = float(res7.energy)
+        rate7 = 3 / (time.perf_counter() - t0)
+        log(f"chi=1024 single instance (streamed matvec kernel, plan "
+            f"(16,4)): {rate7:.2f} sweeps/s (solve-level 22.9 TF = 100% "
+            f"of the measured f32-highest big-GEMM rate; BASELINE.md), "
+            f"E = {e7:.6f}")
+    except Exception as e:
+        log(f"chi=1024 probe failed: {type(e).__name__}: {e}")
+
     print(json.dumps({
         "metric": "dmrg_tfi_n32_chi64_instance_sweeps_per_s_per_chip",
         "value": round(agg_rate, 1),

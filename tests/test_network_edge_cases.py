@@ -327,3 +327,56 @@ def test_contract_between_output_edge_order(rng):
     np.testing.assert_allclose(np.asarray(out.tensor),
                                np.einsum("ijk,jl->lki", t1, t2),
                                rtol=1e-6)
+
+
+def test_real_physics_three_ways(rng):
+    # reference tensornetwork_test.py:190-265 scenario class: one
+    # physical network (two-site Hamiltonian sandwich) contracted three
+    # independent ways, cross-checked against a dense einsum oracle
+    import tensornetwork_tpu as tn
+    import numpy as np
+    d, chi = 2, 3
+    A = rng.standard_normal((chi, d, chi))
+    B = rng.standard_normal((chi, d, chi))
+    H = rng.standard_normal((d, d, d, d))
+
+    # <psi| H |psi> with independent bra/ket bond lines (b vs e)
+    oracle = np.einsum("asb,btc,stuv,aue,evc->", A, B, H, A, B)
+
+    def build():
+        a = tn.Node(A.copy())
+        b = tn.Node(B.copy())
+        h = tn.Node(H.copy())
+        ac = tn.Node(A.copy())
+        bc = tn.Node(B.copy())
+        a[0] ^ ac[0]
+        a[2] ^ b[0]
+        ac[2] ^ bc[0]
+        b[2] ^ bc[2]
+        a[1] ^ h[0]
+        b[1] ^ h[1]
+        ac[1] ^ h[2]
+        bc[1] ^ h[3]
+        return a, b, h, ac, bc
+
+    # way 1: explicit pairwise order
+    a, b, h, ac, bc = build()
+    n1 = tn.contract_between(a, h)
+    n2 = tn.contract_between(n1, b)
+    n3 = tn.contract_between(n2, ac)
+    n4 = tn.contract_between(n3, bc)
+    v1 = float(np.asarray(n4.tensor))
+
+    # way 2: contractors.auto
+    a, b, h, ac, bc = build()
+    v2 = float(np.asarray(
+        tn.contractors.auto([a, b, h, ac, bc]).tensor))
+
+    # way 3: ncon
+    v3 = float(np.asarray(tn.ncon(
+        [A, B, H, A, B],
+        [(1, 3, 2), (2, 4, 7), (3, 4, 5, 6), (1, 5, 8), (8, 6, 7)])))
+
+    np.testing.assert_allclose(v1, oracle, rtol=2e-5)
+    np.testing.assert_allclose(v2, oracle, rtol=2e-5)
+    np.testing.assert_allclose(v3, oracle, rtol=2e-5)
