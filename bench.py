@@ -250,6 +250,24 @@ def main():
     except Exception as e:
         log(f"two-site probe failed: {type(e).__name__}: {e}")
 
+    # Free the multi-GB batched buffers (renvs stacks at B=256 are
+    # ~1.2 GB each) before the large-chi single-instance probes: with
+    # them live, the chi=1024 sweep measured 0.05 sweeps/s instead of
+    # 1.35 (HBM pressure), a 27x context artifact.
+    def _free(*objs):
+        for o in objs:
+            for leaf in jax.tree_util.tree_leaves(o):
+                try:
+                    if hasattr(leaf, "delete"):
+                        leaf.delete()
+                except Exception:
+                    pass    # aliased buffer already deleted
+
+    _locals = locals()
+    _free(*[_locals.get(nm) for nm in
+            ("As_b", "rv", "res", "As_b2", "rv2", "res2",
+             "As3", "rv3", "res3")])
+
     # --- chi=512 single instance (r3: streamed fused-Lanczos kernel) ---
     try:
         As5 = random_mps_stack(jax.random.PRNGKey(6), N, 512, 2, dtype)
@@ -273,6 +291,8 @@ def main():
             f"E = {e5:.6f}")
     except Exception as e:
         log(f"chi=512 probe failed: {type(e).__name__}: {e}")
+    _locals = locals()
+    _free(*[_locals.get(nm) for nm in ("As5", "rv5", "res5")])
 
     # --- round-4 large-chi tiers: 2-site chi=512, 1-site chi=1024
     # (doubly-chunked streamed matvec kernel; BASELINE.md) ---
@@ -301,6 +321,8 @@ def main():
             f"{rate6:.2f} sweeps/s, E = {e6:.6f}")
     except Exception as e:
         log(f"chi=512 two-site probe failed: {type(e).__name__}: {e}")
+    _locals = locals()
+    _free(*[_locals.get(nm) for nm in ("As6", "rv6", "res6")])
 
     try:
         As7 = random_mps_stack(jax.random.PRNGKey(8), N, 1024, 2, dtype)
