@@ -193,3 +193,88 @@ def test_chain_validation_errors():
         [(mats[0], mats[1], [[1], [0]])], ep=(8, "ep"))
     with pytest.raises(TypeError, match="data vectors"):
         run(jnp.zeros(3))
+
+
+# -- charge-family sweep: the chain partition must be correct for any
+# -- symmetry group, not just U(1) ------------------------------------
+from tensornetwork_tpu.blocksparse import Z2Charge, ZNCharge
+
+
+def _charge_factory(kind):
+    def make(rng, d):
+        if kind == "u1":
+            return U1Charge(rng.integers(-2, 3, d))
+        if kind == "z2":
+            return Z2Charge(rng.integers(0, 2, d))
+        if kind == "z3":
+            return ZNCharge(3)(rng.integers(0, 3, d))
+        if kind == "u1xz2":
+            return (U1Charge(rng.integers(-1, 2, d))
+                    @ Z2Charge(rng.integers(0, 2, d)))
+        raise ValueError(kind)
+    return make
+
+
+@pytest.mark.parametrize("kind", ["u1", "z2", "z3", "u1xz2"])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_chain_all_charge_families(rng, mesh, kind, seed):
+    r = np.random.default_rng(100 + seed)
+    mk = _charge_factory(kind)
+    cs = [mk(r, d) for d in (6, 7, 5, 6)]
+    mats = [randn([Index(cs[i], False), Index(cs[i + 1], True)],
+                  seed=20 + i) for i in range(3)]
+    if any(m.data.size == 0 for m in mats):
+        pytest.skip("degenerate random structure (no allowed entries)")
+    run, _ = chain_contraction_plan(
+        [(mats[0], mats[1], [[1], [0]]), (None, mats[2], [[1], [0]])],
+        ep=(8, "ep"))
+    out = _run_chain_on_mesh(mesh, run, [m.data for m in mats])
+    acc = bst.tensordot(bst.tensordot(mats[0], mats[1], [[1], [0]]),
+                        mats[2], [[1], [0]])
+    np.testing.assert_allclose(out, acc.data, rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 3, 5, 8, 16])
+def test_partition_any_device_count(ndev):
+    # host-side partition invariants for arbitrary ndev (no mesh needed)
+    r = np.random.default_rng(4)
+    mats = _matmul_chain_skels(r, dims=(12, 12, 12, 12))
+    specs = [(mats[0], mats[1], [1], [0]), (None, mats[2], [1], [0])]
+    raws, prev = [], None
+    for s1, s2, a1, a2 in specs:
+        raw = JE._build_plan(s1 if s1 is not None else prev, s2,
+                             list(a1), list(a2))
+        raws.append(raw)
+        prev = JE._out_skel_of_raw(raw)
+    assign, bins = JE._partition_chain(raws, ndev)
+    for a in assign:
+        live = a[a >= 0]
+        assert ((live >= 0) & (live < ndev)).all()
+    # bins non-negative, total weight preserved across ndev choices
+    assert (bins >= 0).all()
+
+
+def test_chain_matches_ep_per_contraction_executors(rng, mesh):
+    # the r3 per-contraction EP path and the r4 fused chain must agree
+    r = np.random.default_rng(21)
+    mats = _matmul_chain_skels(r, dims=(8, 9, 7, 8))
+    run_chain, _ = chain_contraction_plan(
+        [(mats[0], mats[1], [[1], [0]]), (None, mats[2], [[1], [0]])],
+        ep=(8, "ep"))
+    f1, t1 = contraction_plan(mats[0], mats[1], [[1], [0]], ep=(8, "ep"))
+    f2, _ = contraction_plan(t1, mats[2], [[1], [0]], ep=(8, "ep"))
+
+    def old(d0, d1, d2):
+        return f2(f1(d0, d1), d2)
+
+    def new(d0, d1, d2):
+        return run_chain(d0, d1, d2)
+
+    fn_old = jax.jit(jax.shard_map(old, mesh=mesh, in_specs=(P(),) * 3,
+                                   out_specs=P(), check_vma=False))
+    fn_new = jax.jit(jax.shard_map(new, mesh=mesh, in_specs=(P(),) * 3,
+                                   out_specs=P(), check_vma=False))
+    args = [jnp.asarray(m.data) for m in mats]
+    np.testing.assert_allclose(np.asarray(fn_new(*args)),
+                               np.asarray(fn_old(*args)),
+                               rtol=0, atol=1e-6)
