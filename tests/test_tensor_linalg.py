@@ -136,3 +136,102 @@ def test_randn_fresh_seed_by_default():
     a = la.randn((16,))
     b = la.randn((16,))
     assert not np.allclose(np.asarray(a.array), np.asarray(b.array))
+
+
+# -- reference tensor_test.py parity sweep (round 4): every method and
+# -- dunder across dtypes incl. complex -------------------------------
+import pytest
+import jax.numpy as jnp
+
+_DTYPES = [np.float32, np.float64, np.complex64, np.complex128]
+
+
+def _rand(rng, shape, dtype):
+    x = rng.standard_normal(shape)
+    if np.issubdtype(dtype, np.complexfloating):
+        x = x + 1j * rng.standard_normal(shape)
+    return x.astype(dtype)
+
+
+@pytest.mark.parametrize("dtype", _DTYPES)
+def test_tensor_unary_methods_dtype_sweep(rng, dtype):
+    from tensornetwork_tpu import Tensor
+    a = _rand(rng, (2, 3, 1), dtype)
+    t = Tensor(a)
+    assert t.dtype == a.dtype and t.ndim == 3 and t.size == 6
+    np.testing.assert_allclose(np.asarray(t.T.array),
+                               a.transpose(2, 1, 0))
+    np.testing.assert_allclose(np.asarray(t.conj().array), a.conj())
+    m = _rand(rng, (3, 4), dtype)
+    np.testing.assert_allclose(np.asarray(Tensor(m).H.array),
+                               m.conj().T)
+    np.testing.assert_allclose(np.asarray(t.reshape((6, 1)).array),
+                               a.reshape(6, 1))
+    np.testing.assert_allclose(np.asarray(t.squeeze().array),
+                               a.squeeze())
+    np.testing.assert_allclose(np.asarray(t.ravel().array), a.ravel())
+    np.testing.assert_allclose(np.asarray(t.flatten().array), a.ravel())
+    c = t.copy()
+    assert c is not t
+    np.testing.assert_allclose(np.asarray(c.array), a)
+
+
+@pytest.mark.parametrize("dtype", _DTYPES)
+@pytest.mark.parametrize("op", ["add", "sub", "mul", "div", "matmul",
+                                "neg", "pow"])
+def test_tensor_arithmetic_dtype_sweep(rng, dtype, op):
+    from tensornetwork_tpu import Tensor
+    a = _rand(rng, (4, 4), dtype)
+    b = _rand(rng, (4, 4), dtype)
+    ta, tb = Tensor(a), Tensor(b)
+    tol = 2e-5 if dtype in (np.float32, np.complex64) else 1e-12
+    if op == "add":
+        np.testing.assert_allclose(np.asarray((ta + tb).array), a + b,
+                                   atol=tol)
+        np.testing.assert_allclose(np.asarray((ta + 2.0).array), a + 2,
+                                   atol=tol)
+        np.testing.assert_allclose(np.asarray((2.0 + ta).array), a + 2,
+                                   atol=tol)
+    elif op == "sub":
+        np.testing.assert_allclose(np.asarray((ta - tb).array), a - b,
+                                   atol=tol)
+        np.testing.assert_allclose(np.asarray((2.0 - ta).array), 2 - a,
+                                   atol=tol)
+    elif op == "mul":
+        np.testing.assert_allclose(np.asarray((ta * tb).array), a * b,
+                                   atol=tol)
+        np.testing.assert_allclose(np.asarray((0.5 * ta).array), a / 2,
+                                   atol=tol)
+    elif op == "div":
+        np.testing.assert_allclose(np.asarray((ta / 2.0).array), a / 2,
+                                   atol=tol)
+    elif op == "matmul":
+        np.testing.assert_allclose(np.asarray((ta @ tb).array), a @ b,
+                                   atol=1e-4 if tol > 1e-9 else tol)
+    elif op == "neg":
+        np.testing.assert_allclose(np.asarray((-ta).array), -a, atol=tol)
+    elif op == "pow":
+        np.testing.assert_allclose(np.asarray((ta ** 2).array), a ** 2,
+                                   atol=1e-4 if tol > 1e-9 else tol)
+
+
+def test_tensor_ops_raise_on_mismatch(rng):
+    from tensornetwork_tpu import Tensor
+    a = Tensor(rng.standard_normal((2, 3)))
+    b = Tensor(rng.standard_normal((4, 5)))
+    with pytest.raises(Exception):
+        _ = a + b
+    with pytest.raises(Exception):
+        _ = a @ b
+
+
+def test_tensor_getitem_and_call_labels(rng):
+    from tensornetwork_tpu import Tensor, ncon
+    a = rng.standard_normal((4, 5))
+    b = rng.standard_normal((5, 3))
+    ta, tb = Tensor(a), Tensor(b)
+    np.testing.assert_allclose(np.asarray(ta[1:3, ::2].array),
+                               a[1:3, ::2])
+    # ncon-builder syntax: t(labels) @ t(labels) contracts on shared
+    out = tn.finalize(ta(-1, 1) @ tb(1, -2))
+    np.testing.assert_allclose(np.asarray(out.array), a @ b, atol=2e-5)
