@@ -213,3 +213,126 @@ def test_switch_backend_and_ncon_backend_kwarg(rng):
                    rng.standard_normal((3, 2))],
                   [(-1, 1), (1, -2)], backend="jax")
     assert np.asarray(out).shape == (2, 2)
+
+
+# -- reference base_mps_test.py scenario batch (round 4): envs at every
+# -- site set, orthonormality checks, transfer directions, error paths --
+import pytest
+import jax
+
+
+def _dense_env_left(mps, s):
+    # contraction of everything strictly left of site s (norm env)
+    E = np.eye(mps.bond_dim)
+    for k in range(s):
+        A = np.asarray(mps.As[k])
+        E = np.einsum("ac,asr,csp->rp", E, A, A)
+    return E
+
+
+def _dense_env_right(mps, s):
+    E = np.eye(mps.bond_dim)
+    for k in range(mps.num_sites - 1, s, -1):
+        A = np.asarray(mps.As[k])
+        E = np.einsum("rp,asr,csp->ac", E, A, A)
+    return E
+
+
+@pytest.mark.parametrize("sites", [[0], [3], [5], [0, 3, 5],
+                                   [1, 4], list(range(6)), []])
+def test_left_envs_match_dense(sites):
+    mps = FiniteMPS.random(6, 8, seed=11)
+    envs = mps.left_envs(sites)
+    assert set(envs) == {int(s) for s in sites}
+    for s in sites:
+        np.testing.assert_allclose(np.asarray(envs[s]),
+                                   _dense_env_left(mps, s), atol=1e-6)
+
+
+@pytest.mark.parametrize("sites", [[0], [2], [5], [0, 2, 5],
+                                   list(range(6))])
+def test_right_envs_match_dense(sites):
+    mps = FiniteMPS.random(6, 8, seed=12)
+    envs = mps.right_envs(sites)
+    for s in sites:
+        np.testing.assert_allclose(np.asarray(envs[s]),
+                                   _dense_env_right(mps, s), atol=1e-6)
+
+
+@pytest.mark.parametrize("center", [0, 2, 5])
+def test_check_orthonormality_after_position(center):
+    mps = FiniteMPS.random(6, 8, seed=13)
+    mps.position(center)
+    for s in range(center):
+        assert float(mps.check_orthonormality("l", s)) < 1e-5
+    for s in range(center + 1, 6):
+        assert float(mps.check_orthonormality("r", s)) < 1e-5
+    assert float(mps.check_canonical()) < 1e-4
+
+
+def test_position_out_of_range_raises():
+    mps = FiniteMPS.random(4, 4, seed=1)
+    with pytest.raises(ValueError):
+        mps.position(-1)
+    with pytest.raises(ValueError):
+        mps.position(4)
+
+
+def test_check_orthonormality_bad_which_raises():
+    mps = FiniteMPS.random(4, 4, seed=1)
+    with pytest.raises(ValueError):
+        mps.check_orthonormality("x", 0)
+
+
+@pytest.mark.parametrize("direction", [1, "l", "left", -1, "r", "right"])
+def test_apply_transfer_operator_directions(direction):
+    mps = FiniteMPS.random(5, 6, seed=14)
+    m = np.eye(6)
+    out = mps.apply_transfer_operator(2, direction, m)
+    A = np.asarray(mps.As[2])
+    if direction in (1, "l", "left"):
+        oracle = np.einsum("ac,asr,csp->rp", m, A, A)
+    else:
+        oracle = np.einsum("rp,asr,csp->ac", m, A, A)
+    np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-6)
+
+
+def test_apply_transfer_operator_bad_direction_raises():
+    mps = FiniteMPS.random(4, 4, seed=1)
+    with pytest.raises(ValueError):
+        mps.apply_transfer_operator(1, "up", np.eye(4))
+
+
+def test_measure_local_operator_mismatched_lengths_raises():
+    mps = FiniteMPS.random(4, 4, seed=1)
+    Z = np.diag([1.0, -1.0])
+    with pytest.raises(ValueError):
+        mps.measure_local_operator([Z, Z], [1])
+
+
+def test_apply_two_site_gate_non_neighbor_raises():
+    mps = FiniteMPS.random(5, 8, seed=2)
+    gate = np.eye(4).reshape(2, 2, 2, 2)
+    with pytest.raises(ValueError):
+        mps.apply_two_site_gate(gate, 0, 2)
+
+
+def test_physical_and_bond_dimension_properties():
+    mps = FiniteMPS.random(5, 7, phys_dim=3, seed=3)
+    assert mps.physical_dimensions == [3] * 5
+    assert len(mps.bond_dimensions) == 6
+    assert mps.phys_dim == 3 and mps.bond_dim == 7
+    assert len(mps) == 5
+
+
+@pytest.mark.parametrize("site", [0, 2, 4])
+def test_apply_one_site_gate_dense_oracle(site):
+    mps = FiniteMPS.random(5, 8, seed=15)
+    H = np.array([[1.0, 1.0], [1.0, -1.0]]) / np.sqrt(2)
+    # block state carries auxiliary boundary legs (chi, 2^N, chi)
+    psi0 = np.asarray(mps.to_dense()).reshape((8,) + (2,) * 5 + (8,))
+    mps.apply_one_site_gate(H, site)
+    psi1 = np.asarray(mps.to_dense()).ravel()
+    oracle = np.tensordot(psi0, H, axes=[[1 + site], [1]])
+    oracle = np.moveaxis(oracle, -1, 1 + site).ravel()
+    np.testing.assert_allclose(psi1, oracle, atol=1e-5)
