@@ -104,6 +104,32 @@ def main():
     print(f"reduction: {total_old / total_new:.1f}x "
           f"(ring all-reduce wire cost ~2x(n-1)/n of payload per device)")
 
+    # --- two-site sweep: 4-stage matvec chain on theta ---
+    t_old = 0
+    t_new = 0
+    for bond in range(N - 1):
+        A, Bt = skel[bond], skel[bond + 1]
+        W1, W2 = mpo[bond], mpo[bond + 1]
+        L, R = Lsk[bond], Rsk[bond + 2]
+        nth, pth = out_nnz(A, Bt, [2], [0])
+        th = _skel_of(pth)
+        n1, p1 = out_nnz(L, th, [0], [0])
+        t1 = _skel_of(p1)
+        n2, p2 = out_nnz(t1, W1, [0, 2], [0, 3])
+        t2 = _skel_of(p2)
+        n3, p3 = out_nnz(t2, W2, [3, 1], [0, 3])
+        t3 = _skel_of(p3)
+        n4, _ = out_nnz(t3, R, [1, 3], [0, 1])
+        # both directions visit each bond once per full sweep
+        t_old += 2 * (nth + m * (n1 + n2 + n3 + n4))
+        t_new += 2 * (nth + m * n4)
+    for name, total in (("per-contraction (r3)", t_old),
+                        ("fused chain (r4)", t_new)):
+        print(f"EP psum payload per TWO-site sweep [{name}]: "
+              f"{total * 4 * B / 1e6:.1f} MB logical")
+    print(f"two-site reduction: {t_old / t_new:.1f}x "
+          f"(theta assembly + split/env terms excluded on both sides)")
+
 
 def _skel_of(plan):
     from tensornetwork_tpu.blocksparse.batched import _skel_of_plan_out
