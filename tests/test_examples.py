@@ -101,8 +101,17 @@ def test_disorder_study_example():
 def test_distributed_symmetric_dmrg_example(tmp_path):
     # EP showcase example: single-device vs sector-sharded energies
     # agree on the virtual mesh; export/load round-trips
-    import importlib
-    mod = importlib.import_module("examples.distributed_symmetric_dmrg")
+    # load by file path: test_reference_parity puts /root/reference at
+    # sys.path[0], whose examples/ dir shadows the repo's namespace
+    # package when that module was collected first
+    import importlib.util
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "distributed_symmetric_dmrg.py")
+    spec = importlib.util.spec_from_file_location(
+        "distributed_symmetric_dmrg_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
     es = mod.main(N=6, chi=10, B=2, sweeps=2,
                   export_dir=str(tmp_path))
     assert np.all(np.isfinite(es))
