@@ -242,9 +242,15 @@ def _local_solve_2s(Lenv: Array, W1: Array, W2: Array, Renv: Array,
         chi, d = theta.shape[0], theta.shape[1]
         M = W1.shape[0]
         nt = d * d
-        vmem_bytes = 4 * chi * chi * (2 * M + nt * (num_krylov_vecs + 4))
         from tensornetwork_tpu.ops import kernels
-        if vmem_bytes <= 12 * 2**20:
+        # resident-kernel gate is EMPIRICAL in the theta matricization
+        # dim chi*d (the kernel's tiles are (chi*d)^2, not chi^2): the
+        # chi*d=128 class runs at m<=10 (the batched chi=64 default),
+        # while chi*d=256 (chi=128, m=6) OOMs at 23.08 MB scoped VMEM
+        # on chip (measured 2026-08-21) — the old chi^2 estimate said
+        # 3 MB and mis-routed it here; larger shapes take the streamed
+        # tier below.
+        if chi * d <= 128:
             ev, evec = kernels.fused_lanczos_ground_state_2s(
                 Lenv[None], W1, W2, Renv[None], theta[None],
                 num_krylov_vecs=num_krylov_vecs, ritz_method=ritz_impl,

@@ -196,16 +196,15 @@ def batched_two_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
     # fused two-site Lanczos program — 570 -> 631 inst-sweeps/s at an
     # identical -1.1e-5 floor (B=256 chi=64 m=6, 2026-08-21).  pair=4
     # overflows scoped VMEM (the nt=d^2 basis doubles the footprint).
-    # same VMEM gate as the one-site route: pair x the resident-kernel
-    # footprint (nt = d^2 tiles) must fit, else fall through to the
-    # unpaired path and its streamed tier
+    # empirical resident-kernel gate in the theta matricization dim
+    # (see models/dmrg._local_solve_2s): the 2s kernel's tiles are
+    # (chi*d)^2; chi*d=128 is the measured-safe class (pair=2), larger
+    # shapes fall through to the unpaired path and its streamed tier
     _, _, chi_b, d_b, _ = As_batch.shape
-    vmem2 = 4 * chi_b * chi_b * (2 * Ws.shape[1]
-                                 + d_b * d_b * (num_krylov_vecs + 4))
     if (jax.default_backend() == "tpu" and lanczos_impl == "fused"
             and not reorth and trunc_impl == "subspace"
             and trunc_orth == "polar" and trunc_polar_fast is None
-            and 2 * vmem2 <= 12 * 2**20
+            and chi_b * d_b <= 128
             and As_batch.shape[0] % 2 == 0):
         return batched_two_site_sweep_paired(
             As_batch, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
