@@ -186,25 +186,24 @@ def _local_solve_1s(Lenv: Array, W: Array, Renv: Array, A: Array,
     if lanczos_impl == "fused":
         chi, d = A.shape[0], A.shape[1]
         M = W.shape[0]
-        from tensornetwork_tpu.ops import kernels
+        from tensornetwork_tpu.ops import kernels, vmem
+        # Tier routing consults the single VMEM admission authority
+        # (ops.vmem, VERDICT r4 item 3 — every budget calibrated there).
         # Tier 1 — single-pass, basis resident: L+R blocks, x, the m-row
         # Krylov basis and ~3 working vectors, all (chi, chi) f32 tiles.
-        # VMEM is ~16 MB/core; chi=256 (8.9 MB raw) is measured-safe.
-        vmem_bytes = 4 * chi * chi * (2 * M + d * (num_krylov_vecs + 4))
+        fits_resident = vmem.admit_resident_lanczos(
+            chi, d, M, num_krylov_vecs)
         # Tier 2 — two-pass (no basis storage): L, R + ~6 working tiles;
         # 2x matvec cost.  At chi=512, M=3, d=2 this is 18.9 MB — over.
-        vmem_2pass = 4 * chi * chi * (2 * M + 6 * d)
         # Tier 3 — streamed: chi chunked over a third grid axis, L
-        # streamed in, basis streamed OUT to HBM (VERDICT r2 item 1);
-        # chi=512 needs K=8 (the K=4 plan fails Mosaic VMEM on chip —
-        # streamed_chunk_count's 14 MB budget encodes that boundary).
-        n_chunks = kernels.streamed_chunk_count(chi, d, M)
-        if vmem_bytes <= 12 * 2**20 or vmem_2pass <= 12 * 2**20:
+        # streamed in, basis streamed OUT to HBM (VERDICT r2 item 1).
+        n_chunks = vmem.streamed_chunk_count(chi, d, M)
+        if fits_resident or vmem.admit_two_pass_lanczos(chi, d, M):
             ev, evec = kernels.fused_lanczos_ground_state(
                 Lenv[None], W, Renv[None], A[None],
                 num_krylov_vecs=num_krylov_vecs, ritz_method=ritz_impl,
                 interpret=interpret, precision=jax.lax.Precision.HIGHEST,
-                two_pass=vmem_bytes > 12 * 2**20)
+                two_pass=not fits_resident)
             return ev[0], evec[0]
         if n_chunks is not None:
             ev, evec = kernels.fused_lanczos_ground_state_streamed(
@@ -216,7 +215,7 @@ def _local_solve_1s(Lenv: Array, W: Array, Renv: Array, A: Array,
         # Tier 4 — doubly-chunked matvec kernel + XLA recurrence: the
         # chi=1024 tier, where even the streamed kernel's resident
         # recurrence vectors (3d tiles) no longer fit VMEM (r4).
-        plan = kernels.streamed_matvec_plan(chi, d, M)
+        plan = vmem.streamed_matvec_plan(chi, d, M)
         if plan is not None:
             ev, evec = kernels.fused_lanczos_ground_state_streamed2(
                 Lenv[None], W, Renv[None], A[None],
@@ -242,15 +241,16 @@ def _local_solve_2s(Lenv: Array, W1: Array, W2: Array, Renv: Array,
         chi, d = theta.shape[0], theta.shape[1]
         M = W1.shape[0]
         nt = d * d
-        from tensornetwork_tpu.ops import kernels
-        # resident-kernel gate is EMPIRICAL in the theta matricization
-        # dim chi*d (the kernel's tiles are (chi*d)^2, not chi^2): the
-        # chi*d=128 class runs at m<=10 (the batched chi=64 default),
-        # while chi*d=256 (chi=128, m=6) OOMs at 23.08 MB scoped VMEM
-        # on chip (measured 2026-08-21) — the old chi^2 estimate said
-        # 3 MB and mis-routed it here; larger shapes take the streamed
-        # tier below.
-        if chi * d <= 128:
+        from tensornetwork_tpu.ops import kernels, vmem
+        # resident-kernel admission via the single VMEM authority
+        # (ops.vmem): the 2s kernel holds nt = d^2 (chi, chi) tiles and
+        # Mosaic allocates ~6.4x the analytic count for nt>=4 kernels
+        # (chi=128, m=6 OOMed at 23.08 MB scoped where the old chi^2
+        # estimate said 3 MB) — the calibrated model admits the
+        # measured-safe chi*d=128 class, scales down with
+        # num_krylov_vecs (ADVICE r4), and routes larger shapes to the
+        # streamed tier below.
+        if vmem.admit_resident_lanczos(chi, nt, M, num_krylov_vecs):
             ev, evec = kernels.fused_lanczos_ground_state_2s(
                 Lenv[None], W1, W2, Renv[None], theta[None],
                 num_krylov_vecs=num_krylov_vecs, ritz_method=ritz_impl,
@@ -259,7 +259,7 @@ def _local_solve_2s(Lenv: Array, W1: Array, W2: Array, Renv: Array,
         # Large-chi two-site tier (r4): doubly-chunked matvec kernel +
         # XLA recurrence — theta tiles are (chi*d)^2, so the
         # resident-recurrence kernels never fit here.
-        plan = kernels.streamed_matvec_plan(chi, nt, M)
+        plan = vmem.streamed_matvec_plan(chi, nt, M)
         if plan is not None:
             ev, evec = kernels.fused_lanczos_ground_state_2s_streamed(
                 Lenv[None], W1, W2, Renv[None], theta[None],
@@ -282,9 +282,9 @@ def _gauge_env_left(Lenv: Array, W: Array, A: Array, qr_impl: str,
     polar one (see EPILOGUE_IMPL)."""
     chi, d = A.shape[0], A.shape[1]
     M = W.shape[0]
-    vmem_bytes = 4 * chi * chi * (2 * M + 4 * d + 2 * M * d)
+    from tensornetwork_tpu.ops import vmem
     if (epilogue_impl == "fused" and qr_impl == "polar"
-            and vmem_bytes <= 12 * 2**20):
+            and vmem.admit_gauge_epilogue(chi, d, M)):
         from tensornetwork_tpu.ops import kernels
         qi, ci = (14, 7) if A.dtype == jnp.float32 else (20, 10)
         Q, P, Lnew = kernels.fused_gauge_env_left(
@@ -301,9 +301,9 @@ def _gauge_env_right(Renv: Array, W: Array, A: Array, qr_impl: str,
     """Gauge-shift left (A = Lm·Q) + grow the right env with Q."""
     chi, d = A.shape[0], A.shape[1]
     M = W.shape[0]
-    vmem_bytes = 4 * chi * chi * (2 * M + 4 * d + 2 * M * d)
+    from tensornetwork_tpu.ops import vmem
     if (epilogue_impl == "fused" and qr_impl == "polar"
-            and vmem_bytes <= 12 * 2**20):
+            and vmem.admit_gauge_epilogue(chi, d, M)):
         from tensornetwork_tpu.ops import kernels
         qi, ci = (14, 7) if A.dtype == jnp.float32 else (20, 10)
         Q, Lm, Rnew = kernels.fused_gauge_env_right(

@@ -53,8 +53,8 @@ def _expm_local(Lenv, W, Renv, v, coeff, m, lanczos_impl, interpret,
     if lanczos_impl == "fused" and real_coeff:
         chi, d = v.shape[0], v.shape[1]
         M = W.shape[0]
-        vmem = 4 * chi * chi * (2 * M + d * (m + 4))
-        if vmem <= 12 * 2**20:
+        from tensornetwork_tpu.ops import vmem
+        if vmem.admit_resident_lanczos(chi, d, M, m):
             from tensornetwork_tpu.ops import kernels
             return kernels.expm_multiply_fused(
                 Lenv[None], W, Renv[None], v[None], coeff, m,
@@ -71,8 +71,8 @@ def _expm_local_C(Lenv, Renv, v, coeff, m, lanczos_impl, interpret,
     if lanczos_impl == "fused" and real_coeff:
         chi = v.shape[0]
         M = Lenv.shape[1]
-        vmem = 4 * chi * chi * (2 * M + (m + 4))
-        if vmem <= 12 * 2**20:
+        from tensornetwork_tpu.ops import vmem
+        if vmem.admit_resident_lanczos(chi, 1, M, m):
             from tensornetwork_tpu.ops import kernels
             W_eye = jnp.eye(M, dtype=v.dtype).reshape(M, M, 1, 1)
             y = kernels.expm_multiply_fused(
@@ -490,9 +490,10 @@ def _expm_local_sc(Lenv, W, Renv, v, coeff, m, lanczos_impl, interpret):
     if lanczos_impl == "fused":
         chi, d = v.shape[0], v.shape[1]
         M = W.shape[0]
-        # realified tiles double both M and d
-        vmem = 4 * chi * chi * (4 * M + 2 * d * (m + 4))
-        if vmem <= 12 * 2**20:
+        # realified tiles double both M and d (nt = 2d >= 4: the
+        # calibrated Mosaic inflation in ops.vmem applies)
+        from tensornetwork_tpu.ops import vmem
+        if vmem.admit_resident_lanczos(chi, 2 * d, 2 * M, m):
             from tensornetwork_tpu.ops import kernels
             vb = _sc.SC(v.re[None], v.im[None])
             Lb = _sc.SC(Lenv.re[None], Lenv.im[None])
@@ -509,8 +510,8 @@ def _expm_local_C_sc(Lenv, Renv, v, coeff, m, lanczos_impl, interpret):
     if lanczos_impl == "fused":
         chi = v.shape[0]
         M = Lenv.re.shape[1]
-        vmem = 4 * chi * chi * (4 * M + 2 * (m + 4))
-        if vmem <= 12 * 2**20:
+        from tensornetwork_tpu.ops import vmem
+        if vmem.admit_resident_lanczos(chi, 2, 2 * M, m):
             from tensornetwork_tpu.ops import kernels
             W_eye = jnp.eye(M, dtype=v.dtype).reshape(M, M, 1, 1)
             vb = _sc.SC(v.re[None, :, None, :], v.im[None, :, None, :])

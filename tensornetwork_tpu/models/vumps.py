@@ -310,8 +310,8 @@ def _solve_AC(LW, W, RW, AC, m, lanczos_impl, interpret, restarts=1,
     if lanczos_impl == "fused":
         chi, d = AC.shape[0], AC.shape[1]
         M = W.shape[0]
-        vmem = 4 * chi * chi * (2 * M + d * (m + 4))
-        use_fused = vmem <= 12 * 2**20
+        from tensornetwork_tpu.ops import vmem
+        use_fused = vmem.admit_resident_lanczos(chi, d, M, m)
     if use_fused:
         from tensornetwork_tpu.ops import kernels
 
@@ -349,8 +349,8 @@ def _solve_C(LW, RW, C, m, lanczos_impl, interpret, restarts=1,
     if lanczos_impl == "fused":
         chi = C.shape[0]
         M = LW.shape[1]
-        vmem = 4 * chi * chi * (2 * M + (m + 4))
-        use_fused = vmem <= 12 * 2**20
+        from tensornetwork_tpu.ops import vmem
+        use_fused = vmem.admit_resident_lanczos(chi, 1, M, m)
     if use_fused:
         from tensornetwork_tpu.ops import kernels
         M = LW.shape[1]

@@ -603,26 +603,13 @@ def make_fused_lanczos_streamed(chi: int, d: int, M: int, m: int,
 
 
 def streamed_chunk_count(chi: int, d: int, M: int,
-                         budget_bytes: int = 14_000_000) -> Optional[int]:
-    """Smallest power-of-two chunk count K (dividing chi, chunks >= 64
-    rows) for which the streamed kernel's VMEM plan fits
-    ``budget_bytes``; None if no admissible K exists (chi too large —
-    TP-shard instead).
-
-    The budget is calibrated ON CHIP (TPU v5e, 2026-08-21): at chi=512
-    the K=4 plan (15.7 MB nominal) fails remote Mosaic compilation
-    (VMEM overflow) while K=8 (13.6 MB) compiles and validates exactly
-    — 14 MB encodes that boundary."""
-    tile = 4 * chi * chi
-    K = 2
-    while K <= max(chi // 64, 1):
-        if chi % K == 0:
-            resident = tile * (M + d + 3 * d)          # Rt + x0 + v/vp/w
-            chunked = tile * (2 * M + M * d + 2 * d) // K  # L(2x), P, Vout
-            if resident + chunked <= budget_bytes:
-                return K
-        K *= 2
-    return None
+                         budget_bytes: Optional[int] = None
+                         ) -> Optional[int]:
+    """Delegates to the single VMEM admission authority
+    (:func:`tensornetwork_tpu.ops.vmem.streamed_chunk_count`); kept here
+    for call-site compatibility."""
+    from tensornetwork_tpu.ops import vmem
+    return vmem.streamed_chunk_count(chi, d, M, budget_bytes)
 
 
 def fused_lanczos_ground_state_streamed(L, W, R, x0, num_krylov_vecs: int,
@@ -1382,46 +1369,12 @@ def make_streamed_matvec(chi: int, nt: int, M: int, n_chunks: int,
 
 
 def streamed_matvec_plan(chi: int, nt: int, M: int,
-                         budget_bytes: int = 14_000_000):
-    """(K, K2) chunk counts for :func:`make_streamed_matvec` whose VMEM
-    plan fits ``budget_bytes`` (same calibrated budget as
-    :func:`streamed_chunk_count`), preferring the largest chunks (small
-    K, then small K2 — bigger GEMMs keep the MXU full); None if nothing
-    fits.  Mosaic constrains the LAST block dim to multiples of 128
-    (column chunks ds >= 128) and the second-to-last to multiples of 8
-    (row chunks cs >= 32 kept for MXU efficiency).
-
-    The flagship shapes carry ON-CHIP MEASURED plans (TPU v5e,
-    2026-08-21 plan sweep): the VMEM cost model below is conservative —
-    e.g. (16, 4) at chi=1024 estimates 17.4 MB yet compiles and runs
-    16% faster than the model's (32, 8) pick, while (2, 2) at chi=512
-    nt=4 estimates 16.5 MB and FAILS remote Mosaic — so measurements,
-    not the model, pick the plan where we have them."""
-    measured = {(512, 4, 3): (8, 2),      # 2-site chi=512: 4.5 TF matvec
-                (1024, 2, 3): (16, 4)}    # 1-site chi=1024: 12.3 TF
-    if (chi, nt, M) in measured:
-        return measured[(chi, nt, M)]
-    tile = 4 * chi * chi
-
-    def vmem(K, K2):
-        cs, ds = chi // K, chi // K2
-        resident = tile * nt                       # x
-        lc = 2 * M * cs * chi * 4                  # L chunks (dbl-buffered)
-        rc = (2 if K2 > 1 else 1) * M * chi * ds * 4
-        q = M * nt * cs * chi * 4
-        yc = 2 * nt * cs * ds * 4
-        return resident + lc + rc + q + yc
-
-    K = 1
-    while chi // K >= 32:
-        if chi % K == 0:
-            K2 = 1
-            while chi // K2 >= 128:
-                if chi % K2 == 0 and vmem(K, K2) <= budget_bytes:
-                    return K, K2
-                K2 *= 2
-        K *= 2
-    return None
+                         budget_bytes: Optional[int] = None):
+    """Delegates to the single VMEM admission authority
+    (:func:`tensornetwork_tpu.ops.vmem.streamed_matvec_plan`); kept here
+    for call-site compatibility."""
+    from tensornetwork_tpu.ops import vmem
+    return vmem.streamed_matvec_plan(chi, nt, M, budget_bytes)
 
 
 def _streamed_lanczos_core(Lt, C, Rt, xt, m, K, K2,

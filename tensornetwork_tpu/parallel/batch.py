@@ -80,14 +80,15 @@ def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
                 and epilogue_impl == "xla")
     # the paired kernel is the tier-1 RESIDENT kernel with `pair`
     # instances per program: its VMEM footprint is pair x the tier-1
-    # estimate (models/dmrg._local_solve_1s).  Without this gate, B=4
-    # chi=512 routed here and died in an 11-minute compile ending in a
-    # 40 MB scoped-vmem OOM (measured 2026-08-21) instead of falling
-    # through to the streamed tier.
+    # estimate.  Admission via the single VMEM authority (ops.vmem,
+    # VERDICT r4 item 3).  Without this gate, B=4 chi=512 routed here
+    # and died in an 11-minute compile ending in a 40 MB scoped-vmem
+    # OOM (measured 2026-08-21) instead of falling through to the
+    # streamed tier.
+    from tensornetwork_tpu.ops import vmem
     _, _, chi_b, d_b, _ = As_batch.shape
-    vmem1 = 4 * chi_b * chi_b * (2 * Ws.shape[1]
-                                 + d_b * (num_krylov_vecs + 4))
-    pair_fits = 4 * vmem1 <= 12 * 2**20
+    pair_fits = vmem.admit_resident_lanczos(
+        chi_b, d_b, Ws.shape[1], num_krylov_vecs, pair=4)
     if paired is True and not route_ok:
         raise ValueError(
             "paired=True requires the TPU fused-kernel default route "
@@ -95,8 +96,8 @@ def batched_one_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
             "epilogue_impl='xla')")
     if paired is True and not pair_fits:
         raise ValueError(
-            f"paired=True: 4 instances per program need "
-            f"{4 * vmem1 / 2**20:.1f} MB VMEM (> 12 MB budget) at "
+            f"paired=True: 4 instances per program exceed the scoped-"
+            f"VMEM budget (ops.vmem.admit_resident_lanczos) at "
             f"chi={chi_b}; use the streamed tier (paired=False)")
     if paired is True or (paired is None and route_ok and pair_fits
                           and As_batch.shape[0] % 4 == 0):
@@ -196,15 +197,19 @@ def batched_two_site_sweep(As_batch, Ws, vL, vR, num_krylov_vecs: int = 10,
     # fused two-site Lanczos program — 570 -> 631 inst-sweeps/s at an
     # identical -1.1e-5 floor (B=256 chi=64 m=6, 2026-08-21).  pair=4
     # overflows scoped VMEM (the nt=d^2 basis doubles the footprint).
-    # empirical resident-kernel gate in the theta matricization dim
-    # (see models/dmrg._local_solve_2s): the 2s kernel's tiles are
-    # (chi*d)^2; chi*d=128 is the measured-safe class (pair=2), larger
-    # shapes fall through to the unpaired path and its streamed tier
+    # Admission via the single VMEM authority (ops.vmem): the 2s
+    # kernel's nt = d^2 tiles carry the measured ~6.4x Mosaic
+    # inflation, and the gate scales with num_krylov_vecs (ADVICE r4 —
+    # a user-passed large m no longer auto-routes into a doomed
+    # compile); inadmissible shapes fall through to the unpaired path
+    # and its streamed tier.
+    from tensornetwork_tpu.ops import vmem
     _, _, chi_b, d_b, _ = As_batch.shape
     if (jax.default_backend() == "tpu" and lanczos_impl == "fused"
             and not reorth and trunc_impl == "subspace"
             and trunc_orth == "polar" and trunc_polar_fast is None
-            and chi_b * d_b <= 128
+            and vmem.admit_resident_lanczos(
+                chi_b, d_b * d_b, Ws.shape[1], num_krylov_vecs, pair=2)
             and As_batch.shape[0] % 2 == 0):
         return batched_two_site_sweep_paired(
             As_batch, Ws, vL, vR, num_krylov_vecs=num_krylov_vecs,
