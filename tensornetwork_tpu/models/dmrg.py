@@ -93,9 +93,24 @@ _ns_polar = _ns_polar_impl
 
 
 QR_IMPL = "householder"  # "householder" | "cholesky" | "polar"
-# Module-level default for the gauge-shift factorization.  The public
-# sweep entry points resolve it at *call* time and key their jit cache on
-# the resolved value, so flipping it between calls is safe.
+# Module-level default for the gauge-shift factorization OFF-TPU.  The
+# public sweep entry points resolve it at *call* time (TPU resolves to
+# "polar" — see _default_qr_impl) and key their jit cache on the
+# resolved value, so flipping it between calls is safe.
+
+
+def _default_qr_impl() -> str:
+    """Call-time gauge default: ``ns_polar`` on TPU, module default off.
+
+    On-chip A/B (VERDICT r4 item 4, benchmarks/gauge_ab.py, N=32 TFI
+    f32 m=10, 2026-08-21): Householder gauges leave the single-instance
+    one-site floor at -1.2e-4..-1.5e-4 (NON-VARIATIONAL — the backend's
+    f32 QR span quality, BASELINE.md QR addendum), while polar recovers
+    the batched +1e-5 class at every chi and is FASTER below chi=512
+    (chi=64: 213 -> 247 sweeps/s; chi=256: 34.7 -> 44.8; chi=512: 7.99
+    -> 7.03, -12% for a 14x floor gain).  The "likely reflects QR
+    quality" hypothesis is now a measurement."""
+    return "polar" if jax.default_backend() == "tpu" else QR_IMPL
 
 RITZ_IMPL = "eigh"  # "eigh" | "power" — small-eigenproblem method inside
 # the per-site Lanczos ("power" avoids the batched tiny eigh, which is
@@ -336,7 +351,7 @@ def right_canonicalize_and_envs(
         nrm = _norm_like(A)
         A = A / jnp.where(nrm > 0, nrm, 1.0)
         Q, Lm_new, Renv_new = _gauge_env_right(
-            Renv, W, A, qr_impl or QR_IMPL, epilogue_impl, interpret)
+            Renv, W, A, qr_impl or _default_qr_impl(), epilogue_impl, interpret)
         return (Renv_new, Lm_new), (Q, Renv)
 
     (_, Lm_final), (Qs, Renvs) = jax.lax.scan(body, (R0, Lm0), (As, Ws),
@@ -382,7 +397,7 @@ def one_site_sweep(
     ``qr_impl``/``ritz_impl`` override the module defaults ``QR_IMPL`` /
     ``RITZ_IMPL``; both are resolved here (outside jit) so the compile
     cache is keyed on the actual implementation choice."""
-    qr_impl = QR_IMPL if qr_impl is None else qr_impl
+    qr_impl = _default_qr_impl() if qr_impl is None else qr_impl
     ritz_impl = RITZ_IMPL if ritz_impl is None else ritz_impl
     matvec_prec = MATVEC_PRECISION if matvec_prec is None else matvec_prec
     if lanczos_impl is None:
@@ -457,7 +472,7 @@ def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                                     ritz_impl, reorth, matvec_prec,
                                     lanczos_impl, interpret)
         Q, Rm_new, Lenv_new = _gauge_env_left(
-            Lenv, W, A_opt, qr_impl or QR_IMPL, epilogue_impl, interpret)
+            Lenv, W, A_opt, qr_impl or _default_qr_impl(), epilogue_impl, interpret)
         return (Lenv_new, Rm_new), (Q, Lenv, E0)
 
     (_, Rm_last), (As1, Lenvs, Es_lr) = jax.lax.scan(
@@ -478,7 +493,7 @@ def _one_site_sweep_impl(As, Ws, vL, vR, num_krylov_vecs,
                                     ritz_impl, reorth, matvec_prec,
                                     lanczos_impl, interpret)
         Q, Lm_new, Renv_new = _gauge_env_right(
-            Renv, W, A_opt, qr_impl or QR_IMPL, epilogue_impl, interpret)
+            Renv, W, A_opt, qr_impl or _default_qr_impl(), epilogue_impl, interpret)
         return (Renv_new, Lm_new), (Q, E0, Renv)
 
     # seed the reverse pass with the left-over center factor of the forward
@@ -518,7 +533,7 @@ def two_site_sweep(
     right-canonical with the center at site 0 and emits exactly the
     right environments the next forward pass consumes, so chaining
     skips the re-canonicalization prepass."""
-    qr_impl = QR_IMPL if qr_impl is None else qr_impl
+    qr_impl = _default_qr_impl() if qr_impl is None else qr_impl
     ritz_impl = RITZ_IMPL if ritz_impl is None else ritz_impl
     matvec_prec = MATVEC_PRECISION if matvec_prec is None else matvec_prec
     if lanczos_impl is None:
