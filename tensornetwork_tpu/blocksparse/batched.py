@@ -273,7 +273,70 @@ def contraction_plan(skel1: BlockSparseTensor, skel2: BlockSparseTensor,
                          else _skel_of_plan_out(plan))
 
 
-def chain_contraction_plan(stages, ep, precision: str = "highest"):
+# ---------------------------------------------------------------------------
+# Capacity-EP sharded environment storage (VERDICT r4 item 1).
+#
+# Environments dominate the symmetric sweep's HBM (BASELINE.md: 3.88 MB
+# per realization vs 0.14 MB MPS nnz at chi=1024; B=256 renvs stacks are
+# ~1.2 GB each), and the r4 EP executor replicated every env on every
+# device (`in_specs=P()`).  Capacity-EP stores each env between programs
+# as a (B, ndev, L) array sharded over the EP axis — per-device HBM =
+# nnz/ndev — and moves the collective boundary: env-growth chains run
+# with ``reduce="none"`` (NO psum) and reduce-scatter their disjoint-
+# support partials straight into the sharded layout (half an all-
+# reduce's bytes); consuming programs all-gather the current bond's env
+# transiently (the other half), use it, and free it.  Exact by
+# construction — reduce_scatter + all_gather composes to the same sum
+# the old psum produced — with NO cross-program partition-alignment
+# surface: true zero-comm env locality would require the producing and
+# consuming chains to agree on component ownership, which the charged
+# MPO legs (S+/S- rows map bond charge q -> q+-1) structurally break.
+# Net: env psum bytes -> 0, total env comm per produce+consume cycle ~
+# the old psum, stored env stacks shard P-fold.
+# ---------------------------------------------------------------------------
+
+
+def env_block_len(nnz: int, ndev: int) -> int:
+    """Per-device block length of the sharded env layout (ceil div)."""
+    return -(-nnz // ndev)
+
+
+def env_scatter_stored(partial, ndev: int, axis_name: str):
+    """(B, nnz) per-device disjoint-support partial -> this device's
+    (B, L) block of the summed env (reduce-scatter; must run inside the
+    EP shard_map)."""
+    B, nnz = partial.shape
+    L = env_block_len(nnz, ndev)
+    p = jnp.pad(partial, ((0, 0), (0, ndev * L - nnz)))
+    return jax.lax.psum_scatter(p, axis_name, scatter_dimension=1,
+                                tiled=True)
+
+
+def env_gather_full(stored, nnz: int, axis_name: str):
+    """This device's (B, L) stored block -> the full (B, nnz) env
+    (all-gather; must run inside the EP shard_map)."""
+    g = jax.lax.all_gather(stored, axis_name, axis=1, tiled=True)
+    return g[:, :nnz]
+
+
+def env_to_stored(full, ndev: int):
+    """Host-side (B, nnz) replicated env -> (B, ndev, L) stored layout
+    (for boundary envs; device_put with a P(None, ep_axis, None)
+    sharding to place the blocks)."""
+    B, nnz = full.shape
+    L = env_block_len(nnz, ndev)
+    p = jnp.pad(full, ((0, 0), (0, ndev * L - nnz)))
+    return p.reshape(B, ndev, L)
+
+
+def env_from_stored(stored, nnz: int):
+    """(B, ndev, L) stored layout -> (B, nnz) replicated env."""
+    B = stored.shape[0]
+    return stored.reshape(B, -1)[:, :nnz]
+
+
+def chain_contraction_plan(stages, ep, precision: str = "highest",
+                           reduce: str = "psum"):
     """Fused EP executor for a chain of contractions (VERDICT r3 item 2).
 
     ``stages``: list of ``(skel1, skel2, axes)`` where ``skel1 is None``
@@ -294,7 +357,8 @@ def chain_contraction_plan(stages, ep, precision: str = "highest"):
             raise ValueError("chain stages need explicit axes lists")
         axes1, axes2 = [list(a) for a in axes]
         specs.append((s1, s2, axes1, axes2))
-    return JE.make_chain_executor(specs, ep[0], ep[1], precision)
+    return JE.make_chain_executor(specs, ep[0], ep[1], precision,
+                                  reduce=reduce)
 
 
 class TwoSiteSplitPlan:

@@ -591,7 +591,8 @@ def _stacked_stage_buckets(raw, assign_k, ndev: int):
 
 
 def make_chain_executor(specs, ndev: int, axis_name: str,
-                        precision: str = "highest"):
+                        precision: str = "highest",
+                        reduce: str = "psum"):
     """Fused EP executor for a contraction chain.
 
     ``specs``: list of ``(skel1, skel2, axes1, axes2)``; for stages
@@ -601,6 +602,14 @@ def make_chain_executor(specs, ndev: int, axis_name: str,
     the final output data vector, must execute inside a ``shard_map``
     over ``axis_name`` with replicated operands, and issues exactly ONE
     ``psum`` (of the final output) for the whole chain.
+
+    ``reduce="none"`` skips the final psum and returns the PER-DEVICE
+    partial (full output length, non-zero only on this device's
+    component support; partials across devices have disjoint support
+    and sum to the exact output).  This is the capacity-EP producer
+    path (VERDICT r4 item 1): the caller reduce-scatters the partial
+    into the sharded env storage layout instead of replicating it —
+    see ``blocksparse.batched.env_scatter_stored``.
     """
     raws = []
     prev_out = None
@@ -617,7 +626,7 @@ def make_chain_executor(specs, ndev: int, axis_name: str,
                           tuple(a1), tuple(a2)))
         raws.append(raw)
         prev_out = _out_skel_of_raw(raw)
-    key = (tuple(key_parts), ndev, axis_name, precision)
+    key = (tuple(key_parts), ndev, axis_name, precision, reduce)
     cached = _CHAIN_CACHE.get(key)
     if cached is not None:
         _CHAIN_CACHE.move_to_end(key)
@@ -660,6 +669,8 @@ def make_chain_executor(specs, ndev: int, axis_name: str,
                              acc_dtype)
         # per-device partials have disjoint support (components are
         # closed under reads): the sum IS the exact reassembly
+        if reduce == "none":
+            return cur
         return jax.lax.psum(cur, axis_name)
 
     out_skel = prev_out

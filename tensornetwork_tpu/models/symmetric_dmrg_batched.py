@@ -67,11 +67,14 @@ class _SiteProgram:
 
     def __init__(self, A_skel, A_next_skel, W_skel, L_skel, R_skel,
                  direction: str, num_krylov_vecs: int, ritz_method: str,
-                 reorth: bool = True, ep_mesh=None, ep_axis: str = "ep"):
+                 reorth: bool = True, ep_mesh=None, ep_axis: str = "ep",
+                 ep_capacity: bool = False):
         self.direction = direction
         self.m = num_krylov_vecs
         ep = (None if ep_mesh is None
               else (ep_mesh.shape[ep_axis], ep_axis))
+        if ep_capacity and ep is None:
+            raise ValueError("ep_capacity requires ep_mesh")
         # matvec chain plans (single instance; vmapped by the jit below).
         # EP runs the whole chain FUSED: sectors partitioned by
         # dependency component, ONE final psum per matvec instead of a
@@ -92,14 +95,18 @@ class _SiteProgram:
             raise AssertionError("matvec output layout mismatch")
         self.shift = ShiftPlan(A_skel, direction)
         bond_skel = self.shift.bond_skel
+        # capacity-EP runs the tiny bond-factor absorption REPLICATED:
+        # its operands are replicated anyway, so the per-contraction EP
+        # executor's x-sized psum is pure comm for no capacity gain
+        ep_abs = None if ep_capacity else ep
         if direction == "right":
             # absorb P into the next site from the left: P·A_next
             self.absorb, abs_out = contraction_plan(
-                bond_skel, A_next_skel, [[1], [0]], ep=ep)
+                bond_skel, A_next_skel, [[1], [0]], ep=ep_abs)
         else:
             # absorb P into the previous site from the right: A_prev·P
             self.absorb, abs_out = contraction_plan(
-                A_next_skel, bond_skel, [[2], [0]], ep=ep)
+                A_next_skel, bond_skel, [[2], [0]], ep=ep_abs)
         if direction == "right":
             grow_stages = [(L_skel, A_skel, [[0], [0]]),
                            (None, W_skel, [[0, 2], [0, 3]]),
@@ -119,8 +126,13 @@ class _SiteProgram:
             self.g3, self.env_out_skel = contraction_plan(
                 e2, grow_stages[2][1], grow_stages[2][2])
         else:
+            # capacity-EP: env-growth chains emit NO psum — the
+            # disjoint-support partials reduce-scatter straight into
+            # the sharded env storage (see blocksparse.batched
+            # capacity-EP note)
             self.g_chain, self.env_out_skel = chain_contraction_plan(
-                grow_stages, ep=ep)
+                grow_stages, ep=ep,
+                reduce="none" if ep_capacity else "psum")
         if abs_out.data.shape != A_next_skel.data.shape:
             raise AssertionError("absorb output layout mismatch")
         ritz = ritz_method
@@ -171,12 +183,36 @@ class _SiteProgram:
 
         if ep_mesh is None:
             self._step = jax.jit(step)
-        else:
+        elif not ep_capacity:
             from jax.sharding import PartitionSpec as P
             self._step = jax.jit(jax.shard_map(
                 step, mesh=ep_mesh,
                 in_specs=(P(), P(), P(), P(), P()),
                 out_specs=(P(), P(), P(), P()),
+                check_vma=False))
+        else:
+            from jax.sharding import PartitionSpec as P
+            from tensornetwork_tpu.blocksparse.batched import (
+                env_gather_full, env_scatter_stored)
+            ndev, axis = ep
+            nnzL, nnzR = L_skel.data.size, R_skel.data.size
+
+            def step_cap(dA, dA_next, dW, dLs, dRs):
+                # envs arrive in sharded storage layout (B, 1, L-block
+                # per device): gather the current bond's envs
+                # transiently, run the step, reduce-scatter the new
+                # env's disjoint-support partial back into storage
+                dL = env_gather_full(dLs[:, 0], nnzL, axis)
+                dR = env_gather_full(dRs[:, 0], nnzR, axis)
+                es, qd, nxt, denv_partial = step(dA, dA_next, dW, dL, dR)
+                stored = env_scatter_stored(denv_partial, ndev, axis)
+                return es, qd, nxt, stored[:, None, :]
+
+            self._step = jax.jit(jax.shard_map(
+                step_cap, mesh=ep_mesh,
+                in_specs=(P(), P(), P(), P(None, ep_axis, None),
+                          P(None, ep_axis, None)),
+                out_specs=(P(), P(), P(), P(None, ep_axis, None)),
                 check_vma=False))
 
     def __call__(self, dA, dA_next, dW, dL, dR):
@@ -207,15 +243,29 @@ class BatchedSymmetricDMRG:
                  ritz_method: str = "power",
                  reorth: bool = True,
                  mesh=None, batch_axis: str = "data",
-                 ep_mesh=None, ep_axis: str = "ep"):
+                 ep_mesh=None, ep_axis: str = "ep",
+                 ep_capacity: bool = False):
         if len(skeleton) != len(mpo):
             raise ValueError("MPS and MPO must have equal length")
         if mesh is not None and ep_mesh is not None:
             raise ValueError(
                 "pass either mesh= (batch/DP sharding) or ep_mesh= "
                 "(sector/EP sharding), not both")
+        if ep_capacity and ep_mesh is None:
+            raise ValueError("ep_capacity=True requires ep_mesh")
         self.ep_mesh = ep_mesh
         self.ep_axis = ep_axis
+        # capacity-EP (VERDICT r4 item 1): store every environment
+        # between programs in the (B, ndev, L) sharded layout — per-
+        # device env HBM = nnz/ndev — with env-growth chains reduce-
+        # scattering (no psum) and consumers all-gathering transiently.
+        # See blocksparse.batched capacity-EP note for the design.
+        self.ep_capacity = bool(ep_capacity)
+        self._env_sharding = None
+        if ep_capacity:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._env_sharding = NamedSharding(
+                ep_mesh, P(None, ep_axis, None))
         self.skeleton = list(skeleton)
         self.data = list(data)
         self.mpo = list(mpo)
@@ -285,8 +335,10 @@ class BatchedSymmetricDMRG:
             ep = (None if self.ep_mesh is None
                   else (self.ep_mesh.shape[self.ep_axis], self.ep_axis))
             shift = ShiftPlan(A_skel, "left")
+            # replicated absorb under capacity-EP — see _SiteProgram
             absorb, abs_out = contraction_plan(
-                A_prev_skel, shift.bond_skel, [[2], [0]], ep=ep)
+                A_prev_skel, shift.bond_skel, [[2], [0]],
+                ep=None if self.ep_capacity else ep)
             if abs_out.data.shape != A_prev_skel.data.shape:
                 raise AssertionError("canon absorb layout mismatch")
             grow_stages = [(A_skel, self._Rskel[site + 1], [[2], [0]]),
@@ -302,7 +354,9 @@ class BatchedSymmetricDMRG:
             else:
                 from tensornetwork_tpu.blocksparse.batched import (
                     chain_contraction_plan)
-                g_chain, _ = chain_contraction_plan(grow_stages, ep=ep)
+                g_chain, _ = chain_contraction_plan(
+                    grow_stages, ep=ep,
+                    reduce="none" if self.ep_capacity else "psum")
 
             def run(dA, dA_prev, dW, dR):
                 # gauge polar precision trap — see _SiteProgram.step
@@ -323,12 +377,31 @@ class BatchedSymmetricDMRG:
 
             if self.ep_mesh is None:
                 run_c = jax.jit(run)
-            else:
+            elif not self.ep_capacity:
                 from jax.sharding import PartitionSpec as P
                 run_c = jax.jit(jax.shard_map(
                     run, mesh=self.ep_mesh,
                     in_specs=(P(), P(), P(), P()),
                     out_specs=(P(), P(), P()),
+                    check_vma=False))
+            else:
+                from jax.sharding import PartitionSpec as P
+                from tensornetwork_tpu.blocksparse.batched import (
+                    env_gather_full, env_scatter_stored)
+                ndev = ep[0]
+                nnzR = self._Rskel[site + 1].data.size
+
+                def run_cap(dA, dA_prev, dW, dRs):
+                    dR = env_gather_full(dRs[:, 0], nnzR, self.ep_axis)
+                    qd, prev2, dR_partial = run(dA, dA_prev, dW, dR)
+                    stored = env_scatter_stored(dR_partial, ndev,
+                                                self.ep_axis)
+                    return qd, prev2, stored[:, None, :]
+
+                run_c = jax.jit(jax.shard_map(
+                    run_cap, mesh=self.ep_mesh,
+                    in_specs=(P(), P(), P(), P(None, self.ep_axis, None)),
+                    out_specs=(P(), P(), P(None, self.ep_axis, None)),
                     check_vma=False))
             self._canon_programs[site] = run_c
         return self._canon_programs[site]
@@ -350,7 +423,8 @@ class BatchedSymmetricDMRG:
                 self.skeleton[site], self.skeleton[nxt], self.mpo[site],
                 self._Lskel[site], self._Rskel[site + 1], direction,
                 self.m, self.ritz, self.reorth,
-                ep_mesh=self.ep_mesh, ep_axis=self.ep_axis)
+                ep_mesh=self.ep_mesh, ep_axis=self.ep_axis,
+                ep_capacity=self.ep_capacity)
         return self._programs[key]
 
     def precompile(self, max_workers: int = 8, verbose: int = 0) -> float:
@@ -632,15 +706,26 @@ class BatchedSymmetricDMRG:
                 print(f"loaded {kind} program <- {fname}")
         return n
 
+    def _boundary_env(self) -> Array:
+        """The trivial (B, 1) boundary env, in the storage layout the
+        active parallel mode expects (sharded (B, ndev, 1) blocks under
+        capacity-EP)."""
+        e = jnp.ones((self.B, 1), self._env_dtype)
+        if self._batch_sharding is not None:
+            return jax.device_put(e, self._batch_sharding)
+        if self.ep_capacity:
+            from tensornetwork_tpu.blocksparse.batched import env_to_stored
+            ndev = self.ep_mesh.shape[self.ep_axis]
+            return jax.device_put(env_to_stored(e, ndev),
+                                  self._env_sharding)
+        return e
+
     def run_one_site(self, num_sweeps: int = 4, tol: float = 1e-10,
                      verbose: int = 0) -> np.ndarray:
         """Returns the per-realization energies (B,) of the last sweep."""
         # right-canonicalize and build right envs
         Rdata: List[Array] = [None] * (self.N + 1)
-        Rdata[self.N] = jnp.ones((self.B, 1), self._env_dtype)
-        if self._batch_sharding is not None:
-            Rdata[self.N] = jax.device_put(Rdata[self.N],
-                                           self._batch_sharding)
+        Rdata[self.N] = self._boundary_env()
         for site in range(self.N - 1, 0, -1):
             run = self._canon_program(site)
             qd, prev2, rnew = run(self.data[site], self.data[site - 1],
@@ -652,9 +737,7 @@ class BatchedSymmetricDMRG:
         es = None
         for sweep in range(num_sweeps):
             Ldata: List[Array] = [None] * (self.N + 1)
-            Ldata[0] = jnp.ones((self.B, 1), self._env_dtype)
-            if self._batch_sharding is not None:
-                Ldata[0] = jax.device_put(Ldata[0], self._batch_sharding)
+            Ldata[0] = self._boundary_env()
             for site in range(self.N - 1):
                 prog = self._program(site, "right")
                 es, qd, nxt, lnew = prog(
@@ -688,14 +771,20 @@ class _BondProgram:
 
     def __init__(self, A_skel, B_skel, W1_skel, W2_skel, L_skel, R_skel,
                  direction: str, num_krylov_vecs: int, ritz_method: str,
-                 reorth: bool = True, ep_mesh=None, ep_axis: str = "ep"):
+                 reorth: bool = True, ep_mesh=None, ep_axis: str = "ep",
+                 ep_capacity: bool = False):
         from tensornetwork_tpu.blocksparse.batched import TwoSiteSplitPlan
         self.direction = direction
         self.m = num_krylov_vecs
         ep = (None if ep_mesh is None
               else (ep_mesh.shape[ep_axis], ep_axis))
-        self.theta, theta_skel = contraction_plan(A_skel, B_skel,
-                                                  [[2], [0]], ep=ep)
+        if ep_capacity and ep is None:
+            raise ValueError("ep_capacity requires ep_mesh")
+        # replicated theta assembly under capacity-EP (operands are
+        # replicated; avoids the per-contraction executor's psum)
+        self.theta, theta_skel = contraction_plan(
+            A_skel, B_skel, [[2], [0]],
+            ep=None if ep_capacity else ep)
         # two-site effective-H matvec chain on theta (l, s, t, r).
         # EP: fused chain, ONE theta-sized psum per matvec instead of a
         # full-intermediate psum per contraction (VERDICT r3 item 2)
@@ -733,7 +822,9 @@ class _BondProgram:
             self.g3, _ = contraction_plan(e2, grow_stages[2][1],
                                           grow_stages[2][2])
         else:
-            self.g_chain, _ = chain_contraction_plan(grow_stages, ep=ep)
+            self.g_chain, _ = chain_contraction_plan(
+                grow_stages, ep=ep,
+                reduce="none" if ep_capacity else "psum")
         ritz = ritz_method
         absorb = "right" if direction == "right" else "left"
 
@@ -777,11 +868,32 @@ class _BondProgram:
 
         if ep_mesh is None:
             self._step = jax.jit(step)
-        else:
+        elif not ep_capacity:
             from jax.sharding import PartitionSpec as P
             self._step = jax.jit(jax.shard_map(
                 step, mesh=ep_mesh,
                 in_specs=(P(),) * 6, out_specs=(P(),) * 5,
+                check_vma=False))
+        else:
+            from jax.sharding import PartitionSpec as P
+            from tensornetwork_tpu.blocksparse.batched import (
+                env_gather_full, env_scatter_stored)
+            ndev, axis = ep
+            nnzL, nnzR = L_skel.data.size, R_skel.data.size
+
+            def step_cap(dA, dB, dW1, dW2, dLs, dRs):
+                dL = env_gather_full(dLs[:, 0], nnzL, axis)
+                dR = env_gather_full(dRs[:, 0], nnzR, axis)
+                es, ld, rd, terr, denv_partial = step(dA, dB, dW1, dW2,
+                                                      dL, dR)
+                stored = env_scatter_stored(denv_partial, ndev, axis)
+                return es, ld, rd, terr, stored[:, None, :]
+
+            self._step = jax.jit(jax.shard_map(
+                step_cap, mesh=ep_mesh,
+                in_specs=(P(), P(), P(), P(), P(None, ep_axis, None),
+                          P(None, ep_axis, None)),
+                out_specs=(P(), P(), P(), P(), P(None, ep_axis, None)),
                 check_vma=False))
 
     def __call__(self, dA, dB, dW1, dW2, dL, dR):
@@ -800,7 +912,8 @@ def _install_two_site(cls):
                 self.mpo[bond], self.mpo[bond + 1],
                 self._Lskel[bond], self._Rskel[bond + 2], direction,
                 self.m, self.ritz, self.reorth,
-                ep_mesh=self.ep_mesh, ep_axis=self.ep_axis)
+                ep_mesh=self.ep_mesh, ep_axis=self.ep_axis,
+                ep_capacity=self.ep_capacity)
         return self._programs[key]
 
     def run_two_site(self, num_sweeps: int = 4, tol: float = 1e-10,
@@ -810,10 +923,7 @@ def _install_two_site(cls):
         per-realization energies (B,) of the last sweep; accumulated
         squared discarded weights in ``self.truncation_errors``."""
         Rdata = [None] * (self.N + 1)
-        Rdata[self.N] = jnp.ones((self.B, 1), self._env_dtype)
-        if self._batch_sharding is not None:
-            Rdata[self.N] = jax.device_put(Rdata[self.N],
-                                           self._batch_sharding)
+        Rdata[self.N] = self._boundary_env()
         for site in range(self.N - 1, 0, -1):
             run = self._canon_program(site)
             qd, prev2, rnew = run(self.data[site], self.data[site - 1],
@@ -828,9 +938,7 @@ def _install_two_site(cls):
         for sweep in range(num_sweeps):
             terr_total = jnp.zeros((self.B,), self.data[0].dtype)
             Ldata = [None] * (self.N + 1)
-            Ldata[0] = jnp.ones((self.B, 1), self._env_dtype)
-            if self._batch_sharding is not None:
-                Ldata[0] = jax.device_put(Ldata[0], self._batch_sharding)
+            Ldata[0] = self._boundary_env()
             for bond in range(self.N - 1):
                 prog = self._bond_program(bond, "right")
                 es, ld, rd, terr, lnew = prog(
