@@ -271,10 +271,12 @@ def _local_solve_2s(Lenv: Array, W1: Array, W2: Array, Renv: Array,
                 num_krylov_vecs=num_krylov_vecs, ritz_method=ritz_impl,
                 interpret=interpret, precision=jax.lax.Precision.HIGHEST)
             return ev[0], evec[0]
-        # Large-chi two-site tier (r4): doubly-chunked matvec kernel +
-        # XLA recurrence — theta tiles are (chi*d)^2, so the
-        # resident-recurrence kernels never fit here.
-        plan = vmem.streamed_matvec_plan(chi, nt, M)
+        # Large-chi two-site tiers: doubly-chunked matvec kernel (r4) or
+        # the three-level-chunked XL kernel (r5, chi=1024: x streamed in
+        # a-chunks, Q staged through HBM) + XLA recurrence — theta tiles
+        # are (chi*d)^2, so the resident-recurrence kernels never fit.
+        plan = (vmem.streamed_matvec_plan(chi, nt, M)
+                or vmem.streamed_matvec_xl_plan(chi, nt, M))
         if plan is not None:
             ev, evec = kernels.fused_lanczos_ground_state_2s_streamed(
                 Lenv[None], W1, W2, Renv[None], theta[None],

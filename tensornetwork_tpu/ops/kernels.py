@@ -1377,22 +1377,169 @@ def streamed_matvec_plan(chi: int, nt: int, M: int,
     return vmem.streamed_matvec_plan(chi, nt, M, budget_bytes)
 
 
+def make_streamed_matvec_xl(chi: int, nt: int, M: int, n_chunks: int,
+                            n_chunks3: int, n_chunks2: int,
+                            accum_dtype=jnp.float32,
+                            interpret: bool = False,
+                            precision=None):
+    """One H_eff matvec with ALL THREE axes chunked — the chi=1024
+    TWO-SITE tier (VERDICT r4 item 2a), where the state x alone is
+    nt*chi^2*4 = 16 MB and :func:`make_streamed_matvec`'s x-resident
+    plan cannot exist.
+
+    Two cooperating kernels inside one jit, with the coupling-folded
+    stage-1 result Q[v, s] (chi, chi per (v, s)) staged through HBM:
+
+    * kernel A — grid ``(B, K, K3)``: for output-row chunk k,
+      accumulate ``Q[v, s][c-chunk, :] += sum_wt C[w,v,s,t] *
+      (L[w][c-chunk, a-chunk] @ x[t][a-chunk, :])`` over contraction
+      chunks k3 (the Q block is revisited across k3 and initialized at
+      k3 == 0 — x is streamed in a-chunks, never resident).
+    * kernel B — grid ``(B, K, K2)``: the pure GEMM epilogue
+      ``y[s][c-chunk, d-chunk] = sum_v Q[v, s][c-chunk, :] @
+      R[v][:, d-chunk]`` plus the SMEM-accumulated Rayleigh quotient
+      ``alpha = <x, y>``.
+
+    The extra HBM round trip is the Q stage (M*nt chi-tiles, 48 MB at
+    chi=1024 — ~0.12 ms against a ~2.3 ms matvec at 22.9 TF).
+
+    Operands/returns as :func:`make_streamed_matvec`:
+      ``f(Lt, C, Rt, x) -> (y, alpha)``.
+    """
+    if chi % n_chunks or chi % n_chunks2 or chi % n_chunks3:
+        raise ValueError(f"chi={chi} not divisible by chunk counts "
+                         f"({n_chunks}, {n_chunks3}, {n_chunks2})")
+    cs = chi // n_chunks
+    as_ = chi // n_chunks3
+    ds = chi // n_chunks2
+    K, K3, K2 = n_chunks, n_chunks3, n_chunks2
+
+    def kernel_a(C_ref, x_ref, Lc_ref, Q_ref):
+        k3 = pl.program_id(2)
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=accum_dtype)
+        for w_i in range(M):
+            for t in range(nt):
+                tmp = dot(Lc_ref[0, w_i], x_ref[0, t])
+                for v_i in range(M):
+                    for s in range(nt):
+                        c = C_ref[w_i, v_i, s, t]
+                        first = w_i == 0 and t == 0
+                        if first:
+                            # first contribution of this k3 pass:
+                            # overwrite at k3 == 0, else accumulate
+                            # onto the revisited block
+                            @pl.when(k3 == 0)
+                            def _(v_i=v_i, s=s, tmp=tmp, c=c):
+                                Q_ref[0, v_i, s] = c * tmp
+
+                            @pl.when(k3 > 0)
+                            def _(v_i=v_i, s=s, tmp=tmp, c=c):
+                                Q_ref[0, v_i, s] = Q_ref[0, v_i, s] + c * tmp
+                        else:
+                            Q_ref[0, v_i, s] = Q_ref[0, v_i, s] + c * tmp
+
+    def kernel_b(x_ref, Q_ref, Rc_ref, y_ref, alpha_ref):
+        k = pl.program_id(1)
+        k2 = pl.program_id(2)
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=accum_dtype)
+
+        @pl.when(jnp.logical_and(k == 0, k2 == 0))
+        def _():
+            alpha_ref[0, 0] = jnp.zeros((), accum_dtype)
+
+        apart = jnp.zeros((), accum_dtype)
+        for s in range(nt):
+            acc = None
+            for v_i in range(M):
+                contrib = dot(Q_ref[0, v_i, s], Rc_ref[0, v_i])
+                acc = contrib if acc is None else acc + contrib
+            y_ref[0, s] = acc.astype(y_ref.dtype)
+            apart = apart + jnp.sum(x_ref[0, s] * acc)
+        alpha_ref[0, 0] = alpha_ref[0, 0] + apart
+
+    @jax.jit
+    def f(Lt, C, Rt, x):
+        B = x.shape[0]
+        Q = pl.pallas_call(
+            kernel_a,
+            grid=(B, K, K3),
+            in_specs=[
+                pl.BlockSpec((M, M, nt, nt), lambda i, k, k3: (0,) * 4,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, nt, as_, chi),
+                             lambda i, k, k3: (i, 0, k3, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, M, cs, as_),
+                             lambda i, k, k3: (i, 0, k, k3),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, M, nt, cs, chi),
+                                   lambda i, k, k3: (i, 0, 0, k, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, M, nt, chi, chi),
+                                           accum_dtype),
+            interpret=interpret,
+        )(C, x, Lt)
+        y, alpha = pl.pallas_call(
+            kernel_b,
+            grid=(B, K, K2),
+            in_specs=[
+                pl.BlockSpec((1, nt, cs, ds),
+                             lambda i, k, k2: (i, 0, k, k2),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, M, nt, cs, chi),
+                             lambda i, k, k2: (i, 0, 0, k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, M, chi, ds),
+                             lambda i, k, k2: (i, 0, 0, k2),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, nt, cs, ds),
+                             lambda i, k, k2: (i, 0, k, k2),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i, k, k2: (i, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, nt, chi, chi), accum_dtype),
+                jax.ShapeDtypeStruct((B, 1), accum_dtype),
+            ],
+            interpret=interpret,
+        )(x, Q, Rt)
+        return y, alpha[:, 0]
+
+    return f
+
+
 def _streamed_lanczos_core(Lt, C, Rt, xt, m, K, K2,
                            delta, ritz_method, power_iters,
-                           interpret, precision):
+                           interpret, precision, K3=None):
     """Plain three-term Lanczos with the matvec in the doubly-chunked
-    kernel and the recurrence in XLA (one jit).  Operands in kernel
-    layout; returns ``(evals (B,), y (B, nt, chi, chi))`` (kernel
-    layout).  Breakdown semantics match :func:`make_fused_lanczos`
-    (+1e10 dead sentinels, zeroed dead betas/vectors)."""
+    kernel (or, with ``K3``, the three-level-chunked XL kernel) and the
+    recurrence in XLA (one jit).  Operands in kernel layout; returns
+    ``(evals (B,), y (B, nt, chi, chi))`` (kernel layout).  Breakdown
+    semantics match :func:`make_fused_lanczos` (+1e10 dead sentinels,
+    zeroed dead betas/vectors)."""
     from tensornetwork_tpu.ops import krylov
 
     LARGE = 1e10
     B, nt, chi, _ = xt.shape
     M = C.shape[0]
     accum = xt.dtype if xt.dtype == jnp.float64 else jnp.float32
-    mvk = make_streamed_matvec(chi, nt, M, K, K2, accum_dtype=accum,
-                               interpret=interpret, precision=precision)
+    if K3 is None:
+        mvk = make_streamed_matvec(chi, nt, M, K, K2, accum_dtype=accum,
+                                   interpret=interpret,
+                                   precision=precision)
+    else:
+        mvk = make_streamed_matvec_xl(chi, nt, M, K, K3, K2,
+                                      accum_dtype=accum,
+                                      interpret=interpret,
+                                      precision=precision)
     x0 = xt.astype(accum)
     C = C.astype(accum)
     nrm = jnp.sqrt(jnp.sum(x0 * x0, axis=(1, 2, 3), keepdims=True))
@@ -1473,6 +1620,9 @@ def fused_lanczos_ground_state_2s_streamed(L, W1, W2, R, x0,
     nt = d * d
     if plan is None:
         plan = streamed_matvec_plan(chi, nt, M)
+    if plan is None:
+        from tensornetwork_tpu.ops import vmem
+        plan = vmem.streamed_matvec_xl_plan(chi, nt, M)
         if plan is None:
             raise ValueError(
                 f"no streamed-matvec chunking fits VMEM at chi={chi} "
@@ -1484,7 +1634,15 @@ def fused_lanczos_ground_state_2s_streamed(L, W1, W2, R, x0,
     Lt = L.transpose(0, 2, 3, 1)
     Rt = R.transpose(0, 2, 1, 3)
     xt = x0.reshape(B, chi, nt, chi).transpose(0, 2, 1, 3)
-    evals, y = _streamed_lanczos_core(
-        Lt, C, Rt, xt, num_krylov_vecs, plan[0], plan[1], delta,
-        ritz_method, power_iters, interpret, precision)
+    if len(plan) == 3:
+        # three-level-chunked XL tier (chi=1024 two-site: x streamed,
+        # Q staged through HBM)
+        K, K3, K2 = plan
+        evals, y = _streamed_lanczos_core(
+            Lt, C, Rt, xt, num_krylov_vecs, K, K2, delta,
+            ritz_method, power_iters, interpret, precision, K3=K3)
+    else:
+        evals, y = _streamed_lanczos_core(
+            Lt, C, Rt, xt, num_krylov_vecs, plan[0], plan[1], delta,
+            ritz_method, power_iters, interpret, precision)
     return evals, y.transpose(0, 2, 1, 3).reshape(B, chi, d, d, chi)

@@ -168,3 +168,54 @@ def streamed_matvec_plan(chi: int, nt: int, M: int,
                 K2 *= 2
         K *= 2
     return None
+
+
+def streamed_matvec_xl_plan(chi: int, nt: int, M: int,
+                            budget_bytes: Optional[int] = None
+                            ) -> Optional[Tuple[int, int, int]]:
+    """(K, K3, K2) chunk counts for the three-level-chunked matvec
+    (``ops.kernels.make_streamed_matvec_xl``) — the chi=1024 TWO-SITE
+    tier, where the state x alone (nt*chi^2*4 = 16 MB) exceeds VMEM and
+    no x-resident plan exists.  Streams x in contraction (a) chunks
+    through kernel A and stages the coupling-folded Q through HBM.
+
+    Mosaic alignment: kernel A's L block has last dim a-chunk
+    (multiple of 128) and x's second-to-last is the a-chunk (covered);
+    kernel B's R/x/y blocks have last dim d-chunk (multiple of 128);
+    row chunks cs kept >= 32.  Prefers the largest chunks (small K,
+    K3, K2) under the calibrated streamed budget per kernel."""
+    if budget_bytes is None:
+        budget_bytes = STREAMED_BUDGET_BYTES
+
+    def vmem_a(cs, a):
+        xb = 2 * nt * a * chi * 4          # x chunk (dbl-buffered)
+        lb = 2 * M * cs * a * 4            # L chunk
+        qb = M * nt * cs * chi * 4         # Q out block (revisited)
+        return xb + lb + qb
+
+    def vmem_b(cs, d):
+        qb = 2 * M * nt * cs * chi * 4     # Q chunk (dbl-buffered)
+        rb = 2 * M * chi * d * 4
+        xb = nt * cs * d * 4
+        yb = 2 * nt * cs * d * 4
+        return qb + rb + xb + yb
+
+    K = 1
+    while chi // K >= 32:
+        if chi % K:
+            K *= 2
+            continue
+        cs = chi // K
+        K3 = 1
+        while chi // K3 >= 128:
+            if chi % K3 == 0 and vmem_a(cs, chi // K3) <= budget_bytes:
+                K2 = 1
+                while chi // K2 >= 128:
+                    if (chi % K2 == 0
+                            and vmem_b(cs, chi // K2) <= budget_bytes):
+                        return K, K3, K2
+                    K2 *= 2
+                break  # kernel A fits but no K2 fits: shrink cs
+            K3 *= 2
+        K *= 2
+    return None

@@ -248,6 +248,12 @@ class QuOperator:
                 raise ValueError(
                     "can only multiply by scalars (QuScalar or numeric)")
             return self.tensor_product(scalar)
+        if isinstance(scalar, Node):
+            # reference convenience path (quantum/quantum.py:374-382):
+            # a scalar-shaped Node operand wraps into a lazy QuScalar
+            if scalar.tensor.ndim != 0:
+                raise ValueError("can only multiply by scalars")
+            return self.tensor_product(QuScalar([scalar.copy()]))
         if not np.isscalar(scalar) and not isinstance(
                 scalar, (jnp.ndarray, np.ndarray)):
             raise ValueError("can only multiply by scalars")

@@ -284,3 +284,69 @@ def test_streamed2_two_site_matches_oracle(rng):
     fid = jnp.abs(jnp.sum(y.reshape(B, -1) * y_or[:, 0].reshape(B, -1),
                           axis=1))
     np.testing.assert_allclose(np.asarray(fid), 1.0, atol=1e-10)
+
+
+def test_streamed_xl_two_site_matches_oracle(rng):
+    # three-level-chunked (XL) matvec: x streamed in a-chunks, Q staged
+    # through HBM (the chi=1024 two-site tier, VERDICT r4 item 2a) —
+    # exact vs the plain XLA Lanczos oracle in interpret mode
+    from tensornetwork_tpu.ops import krylov
+    B, chi, d, M, m = 1, 128, 2, 3, 6
+    L = rng.standard_normal((B, chi, M, chi))
+    L = 0.5 * (L + L.transpose(0, 3, 2, 1))
+    R = rng.standard_normal((B, chi, M, chi))
+    R = 0.5 * (R + R.transpose(0, 3, 2, 1))
+    W1 = rng.standard_normal((M, M, d, d))
+    W1 = 0.5 * (W1 + W1.transpose(1, 0, 3, 2))
+    W2 = rng.standard_normal((M, M, d, d))
+    W2 = 0.5 * (W2 + W2.transpose(1, 0, 3, 2))
+    L, R = jnp.asarray(L), jnp.asarray(R)
+    W1, W2 = jnp.asarray(W1), jnp.asarray(W2)
+    th0 = jnp.asarray(rng.standard_normal((B, chi, d, d, chi)))
+
+    def mv2(Lb, Rb, x):
+        return jnp.einsum("awc,wmst,mvuz,atzb,bvd->csud", Lb, W1, W2, x,
+                          Rb, optimize="auto")
+
+    ev_or, y_or = jax.vmap(lambda Lb, Rb, xb: krylov.eigsh_lanczos(
+        lambda x: mv2(Lb, Rb, x), xb, num_krylov_vecs=m, numeig=1,
+        reorthogonalize=False, ritz_method="eigh"))(L, R, th0)
+    ev, y = K.fused_lanczos_ground_state_2s_streamed(
+        L, W1, W2, R, th0, num_krylov_vecs=m, ritz_method="eigh",
+        plan=(2, 2, 2), interpret=True)
+    np.testing.assert_allclose(np.asarray(ev), np.asarray(ev_or[:, 0]),
+                               atol=1e-10)
+    fid = jnp.abs(jnp.sum(y.reshape(B, -1) * y_or[:, 0].reshape(B, -1),
+                          axis=1))
+    np.testing.assert_allclose(np.asarray(fid), 1.0, atol=1e-10)
+
+
+def test_streamed_xl_matvec_alpha_matches_einsum(rng):
+    # kernel A + kernel B composition vs the raw einsum matvec and
+    # Rayleigh quotient
+    B, chi, nt, M = 2, 128, 4, 3
+    Lt = jnp.asarray(rng.standard_normal((B, M, chi, chi)))
+    Rt = jnp.asarray(rng.standard_normal((B, M, chi, chi)))
+    C = jnp.asarray(rng.standard_normal((M, M, nt, nt)))
+    x = jnp.asarray(rng.standard_normal((B, nt, chi, chi)))
+    f = K.make_streamed_matvec_xl(chi, nt, M, 2, 2, 2,
+                                  accum_dtype=jnp.float64,
+                                  interpret=True)
+    y, alpha = f(Lt, C, Rt, x)
+    y_ref = jnp.einsum("Bwca,Btab,wvst,Bvbd->Bscd", Lt, x, C, Rt,
+                       optimize="auto")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-8)
+    a_ref = jnp.sum(x * y_ref, axis=(1, 2, 3))
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(a_ref),
+                               atol=1e-8)
+
+
+def test_streamed_matvec_xl_plan_targets():
+    from tensornetwork_tpu.ops import vmem
+    # the chi=1024 two-site regime now has an admissible plan
+    assert vmem.streamed_matvec_xl_plan(1024, 4, 3) is not None
+    # and the two-site dispatch falls through to it
+    plan = (vmem.streamed_matvec_plan(1024, 4, 3)
+            or vmem.streamed_matvec_xl_plan(1024, 4, 3))
+    assert plan is not None and len(plan) == 3

@@ -209,3 +209,20 @@ def test_projector_squares_to_itself(rng):
     P2 = (P @ P).eval()
     np.testing.assert_allclose(np.asarray(P2), np.asarray(P.eval()),
                                atol=1e-10)
+
+
+def test_scalar_multiplication_by_node():
+    # ADVICE r4: the reference (quantum/quantum.py:374-382) accepts a
+    # scalar-shaped Node as the scalar operand in __mul__/__rmul__
+    import numpy as np
+    from tensornetwork_tpu.core.network import Node
+    from tensornetwork_tpu.quantum.quantum import QuOperator
+    op = QuOperator.from_tensor(np.diag([1.0, 2.0]), [0], [1])
+    s = Node(np.array(3.0))
+    np.testing.assert_allclose(np.asarray((op * s).eval()),
+                               np.diag([3.0, 6.0]))
+    np.testing.assert_allclose(np.asarray(op.__rmul__(s).eval()),
+                               np.diag([3.0, 6.0]))
+    import pytest
+    with pytest.raises(ValueError):
+        op * Node(np.ones((2, 2)))
