@@ -456,7 +456,14 @@ def nodes_to_json(nodes: Sequence[AbstractNode],
             for e in n.edges:
                 edge_names[id(e)] = e.name
         for key, val in edge_binding.items():
+            if not isinstance(key, str):
+                raise TypeError(
+                    f"edge_binding keys must be strings, got {type(key)}")
             es = val if isinstance(val, (list, tuple, set)) else [val]
+            for e in es:
+                if not isinstance(e, Edge):
+                    raise TypeError(
+                        f"edge_binding values must be Edges, got {type(e)}")
             bindings[key] = [e.name for e in es if id(e) in edge_names]
     return json.dumps({"nodes": node_dicts, "edges": edges,
                        "edge_binding": bindings})

@@ -6,6 +6,8 @@ import pytest
 
 import tensornetwork_tpu as tn
 from tensornetwork_tpu.contractors import custom_path_solvers as cps
+from tensornetwork_tpu.contractors import path_contractors
+from tensornetwork_tpu.core.network import Node
 
 
 def _chain(rng, n=6, d=4):
@@ -220,3 +222,164 @@ def test_native_path_respects_opt_einsum_convention():
     for (i, j) in path:
         assert 0 <= i < j < cur
         cur -= 1
+
+
+# ---------------------------------------------------------------------------
+# Reference scenario ports (behavioral, re-written): contractor corner
+# cases from /root/reference/tensornetwork/contractors/opt_einsum_paths/
+# path_contractors_node_test.py (VERDICT r4 item 5).
+# ---------------------------------------------------------------------------
+
+_ALGS = [path_contractors.optimal, path_contractors.branch,
+         path_contractors.greedy, path_contractors.auto]
+_ALG_IDS = ["optimal", "branch", "greedy", "auto"]
+
+
+@pytest.mark.parametrize("alg", _ALGS, ids=_ALG_IDS)
+def test_ref_sanity_network(alg):
+    # reference test_sanity_check: 4-node network -> (13,) output
+    a = Node(np.eye(2))
+    b = Node(np.ones((2, 7, 11)))
+    c = Node(np.ones((7, 11, 13, 2)))
+    d = Node(np.eye(13))
+    a[0] ^ b[0]
+    b[1] ^ c[0]
+    b[2] ^ c[1]
+    c[2] ^ d[1]
+    c[3] ^ a[1]
+    out = alg([a, b, c, d])
+    assert out.shape == (13,)
+
+
+@pytest.mark.parametrize("alg", _ALGS, ids=_ALG_IDS)
+def test_ref_trace_edge_network(alg):
+    # reference test_trace_edge: network with a trace edge -> ones * 32
+    a = Node(np.ones((2, 2, 2, 2, 2)))
+    b = Node(np.ones((2, 2, 2)))
+    c = Node(np.ones((2, 2, 2)))
+    a[0] ^ a[1]
+    a[2] ^ b[0]
+    a[3] ^ c[0]
+    b[1] ^ c[1]
+    b[2] ^ c[2]
+    out = alg([a, b, c])
+    np.testing.assert_allclose(np.asarray(out.tensor), np.ones(2) * 32.0)
+
+
+@pytest.mark.parametrize("alg", _ALGS, ids=_ALG_IDS)
+def test_ref_subgraph_contraction(alg):
+    # reference test_subgraph_contraction: contract a subset, then finish
+    a_t = np.arange(4).reshape((2, 2)).astype(np.float64)
+    b_t = a_t + 10
+    c_t = a_t + 20
+    a, b, c = Node(a_t), Node(b_t), Node(c_t)
+    a[0] ^ b[1]
+    c[1] ^ b[0]
+    remaining = [c[0], a[1]]
+    result = alg({a, b}, [b[0], a[1]])
+    np.testing.assert_allclose(np.asarray(result.tensor), b_t @ a_t)
+    final = (c @ result).reorder_edges(remaining)
+    np.testing.assert_allclose(np.asarray(final.tensor), c_t @ b_t @ a_t)
+
+
+@pytest.mark.parametrize("alg", _ALGS, ids=_ALG_IDS)
+def test_ref_multiple_partial_contractions(alg):
+    a_t = np.arange(4).reshape((2, 2)).astype(np.float64)
+    b_t, c_t, d_t = a_t + 10, a_t + 20, a_t + 30
+    a, b, c, d = Node(a_t), Node(b_t), Node(c_t), Node(d_t)
+    a[1] ^ b[0]
+    b[1] ^ c[0]
+    c[1] ^ d[0]
+    d[1] ^ a[0]
+    ab = alg({a, b}, [a[0], b[1]])
+    np.testing.assert_allclose(np.asarray(ab.tensor), a_t @ b_t)
+    cd = alg({c, d}, [c[0], d[1]])
+    np.testing.assert_allclose(np.asarray(cd.tensor), c_t @ d_t)
+    result = alg({ab, cd})
+    np.testing.assert_allclose(np.asarray(result.tensor),
+                               np.trace(a_t @ b_t @ c_t @ d_t))
+
+
+@pytest.mark.parametrize("alg", _ALGS, ids=_ALG_IDS)
+def test_ref_single_node_reorder(alg):
+    a = Node(np.arange(4).reshape((2, 2)).astype(np.float64))
+    expected = [a[1], a[0]]
+    result = alg({a}, expected)
+    assert result.edges == expected
+    np.testing.assert_allclose(np.asarray(result.tensor),
+                               np.arange(4).reshape((2, 2)).T)
+
+
+@pytest.mark.parametrize("alg", _ALGS, ids=_ALG_IDS)
+def test_ref_ignore_edge_order(alg):
+    a = Node(np.ones((1, 1, 1)))
+    b = Node(np.ones((1, 1, 1, 2, 3)))
+    a[0] ^ b[0]
+    a[1] ^ b[1]
+    a[2] ^ b[2]
+    e0, e1 = b[3], b[4]
+    out = alg({a, b}, ignore_edge_order=True)
+    assert set(out.edges) == {e0, e1}
+    # and with an (ignored) explicit order
+    a2 = Node(np.ones((1, 1, 1)))
+    b2 = Node(np.ones((1, 1, 1, 2, 3)))
+    a2[0] ^ b2[0]
+    a2[1] ^ b2[1]
+    a2[2] ^ b2[2]
+    out2 = alg({a2, b2}, [b2[4], b2[3]], ignore_edge_order=True)
+    assert set(out2.edges) == {b2[3], b2[4]}
+
+
+@pytest.mark.parametrize("alg", _ALGS, ids=_ALG_IDS)
+def test_ref_disconnected_network(alg):
+    # reference test_disconnected_network: 3 disconnected pairs + chain
+    ns = [Node(np.eye(2)) for _ in range(7)]
+    a, b, c, d, e, f, g = ns
+    a[1] ^ b[0]
+    c[0] ^ d[1]
+    e[0] ^ f[0]
+    g[0] ^ f[1]
+    final_edges = [a[0], b[1], c[1], d[0], e[1], g[1]]
+    result = alg(set(ns), final_edges)
+    assert result.edges == final_edges
+
+
+def test_ref_auto_passes_ignore_edge_order():
+    # reference test_passes_ignore_edge_order_from_auto: the n in [5, 7)
+    # branch of auto must forward ignore_edge_order
+    ns = [Node(np.eye(2)) for _ in range(5)]
+    a, b, c, d, e = ns
+    a[1] ^ b[0]
+    c[0] ^ d[1]
+    c[1] ^ e[0]
+    path_contractors.auto(ns, ignore_edge_order=True)
+
+
+def test_ref_custom_optimizer_object():
+    # reference test_custom_sanity_check: a stateful PathOptimizer object
+    a = Node(np.ones(2))
+    b = Node(np.ones((2, 5)))
+    a[0] ^ b[0]
+
+    class PathOptimizer:
+        def __call__(self, inputs, output, size_dict, memory_limit=None):
+            return [(0, 1)]
+
+    out = path_contractors.custom([a, b], PathOptimizer())
+    np.testing.assert_allclose(np.asarray(out.tensor), np.ones(5) * 2.0)
+
+
+@pytest.mark.parametrize("alg", _ALGS, ids=_ALG_IDS)
+def test_ref_single_node_trace_only(alg):
+    a = Node(np.ones((2, 2, 2)))
+    a[0] ^ a[1]
+    out = alg([a])
+    np.testing.assert_allclose(np.asarray(out.tensor), np.ones(2) * 2.0)
+
+
+def test_contract_path_raises_on_bad_path():
+    a = Node(np.ones((2, 2)))
+    b = Node(np.ones((2, 2)))
+    a[0] ^ b[0]
+    with pytest.raises((ValueError, IndexError)):
+        path_contractors.contract_path([(0, 7)], {a, b}, [a[1], b[1]])

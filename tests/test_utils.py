@@ -69,3 +69,134 @@ def test_hdf5_boundary_edge_either_orientation(tmp_path, rng):
     save_nodes([inside], path)
     nodes = load_nodes(path)
     assert nodes[0].edges[0].is_dangling()
+
+
+# ---------------------------------------------------------------------------
+# JSON serialization scenario ports (reference tests/serialize_test.py,
+# VERDICT r4 item 5) — graph-equality round trips, boundary-edge
+# semantics, binding validation.
+# ---------------------------------------------------------------------------
+
+def _basic_network():
+    import tensornetwork_tpu as tn
+    rng = np.random.default_rng(10)
+    a = tn.Node(rng.normal(size=[8]), name="an", axis_names=["a1"])
+    b = tn.Node(rng.normal(size=[8, 8, 8]), name="bn",
+                axis_names=["b1", "b2", "b3"])
+    c = tn.Node(rng.normal(size=[8, 8, 8]), name="cn",
+                axis_names=["c1", "c2", "c3"])
+    d = tn.Node(rng.normal(size=[8, 8, 8]), name="dn",
+                axis_names=["d1", "d2", "d3"])
+    a[0] ^ b[0]
+    b[1] ^ c[0]
+    c[1] ^ d[0]
+    c[2] ^ b[2]
+    return [a, b, c, d]
+
+
+def _assert_graphs_eq(a_nodes, b_nodes):
+    assert len(a_nodes) == len(b_nodes)
+    a_idx = {n: i for i, n in enumerate(a_nodes)}
+    b_idx = {n: i for i, n in enumerate(b_nodes)}
+    for a, b in zip(a_nodes, b_nodes):
+        assert a.name == b.name
+        assert a.axis_names == b.axis_names
+        for e1, e2 in zip(a.edges, b.edges):
+            assert a_idx.get(e1.node2, None) == b_idx.get(e2.node2, None)
+
+
+def test_json_serial_basic_graph_equality():
+    import tensornetwork_tpu as tn
+    nodes = _basic_network()
+    s = tn.nodes_to_json(nodes)
+    new_nodes, _ = tn.nodes_from_json(s)
+    for x, y in zip(nodes, new_nodes):
+        assert x.name == y.name and x.axis_names == y.axis_names
+        np.testing.assert_array_equal(np.asarray(x.tensor),
+                                      np.asarray(y.tensor))
+    _assert_graphs_eq(nodes, new_nodes)
+    c = tn.contractors.greedy(nodes, ignore_edge_order=True)
+    new_c = tn.contractors.greedy(new_nodes, ignore_edge_order=True)
+    np.testing.assert_allclose(np.asarray(c.tensor),
+                               np.asarray(new_c.tensor), atol=1e-12)
+
+
+def test_json_serial_excluded_node_becomes_dangling():
+    import tensornetwork_tpu as tn
+    import pytest
+    nodes = _basic_network()
+    s = tn.nodes_to_json(nodes[:-1])
+    new_nodes, _ = tn.nodes_from_json(s)
+    # the cross-boundary edge (c[1] ^ d[0]) must deserialize dangling
+    assert len(new_nodes) == 3
+    assert not nodes[2].edges[1].is_dangling()   # connected to d originally
+    c_new = new_nodes[2]
+    assert c_new.edges[1].is_dangling()
+    # interior structure is preserved
+    _assert_graphs_eq(nodes[:3], new_nodes)
+
+
+def test_json_serial_bindings_roundtrip():
+    import tensornetwork_tpu as tn
+    a, b, c, d = _basic_network()
+    bindings = {}
+    a[0].name = "ea0"
+    bindings["ea"] = a[0]
+    for s_, n in zip(["eb", "ec", "ed"], [b, c, d]):
+        for i, e in enumerate(n.edges):
+            e.name = s_ + str(i)
+            bindings[s_] = bindings.get(s_, ()) + (e,)
+    s = tn.nodes_to_json([a, b, c, d], edge_binding=bindings)
+    _, new_bindings = tn.nodes_from_json(s)
+    assert len(new_bindings) == len(bindings)
+    assert bindings["ea"].name == new_bindings["ea"][0].name
+    for k in ["eb", "ec", "ed"]:
+        names = {e.name for e in (bindings[k] if isinstance(
+            bindings[k], tuple) else [bindings[k]])}
+        new_names = {e.name for e in new_bindings[k]}
+        assert names == new_names
+
+
+def test_json_serial_non_str_keys_raise():
+    import tensornetwork_tpu as tn
+    import pytest
+    a, b, c, d = _basic_network()
+    with pytest.raises(TypeError):
+        tn.nodes_to_json([a, b, c, d], edge_binding={1: a[0]})
+
+
+def test_json_serial_non_edge_values_raise():
+    import tensornetwork_tpu as tn
+    import pytest
+    a, b, c, d = _basic_network()
+    with pytest.raises(TypeError):
+        tn.nodes_to_json([a, b, c, d], edge_binding={"non_edge": a})
+
+
+def test_json_serial_excludes_non_network_edges():
+    import tensornetwork_tpu as tn
+    import json
+    a, b, c, d = _basic_network()
+    bindings = {"include": a[0], "boundary": b[1], "exclude": d[0]}
+    s = tn.nodes_to_json([a, b], edge_binding=bindings)
+    data = json.loads(s)
+    assert data["edge_binding"].get("include")
+    assert data["edge_binding"].get("boundary")
+    # d[0]'s edge has no endpoint inside the serialized set
+    assert not data["edge_binding"].get("exclude")
+
+
+def test_hdf5_roundtrip_dtypes(tmp_path, rng):
+    # dtype corner cases: f32/f64/c64/c128/int32 tensors round-trip
+    import tensornetwork_tpu as tn
+    from tensornetwork_tpu.utils.serialization import (load_nodes,
+                                                       save_nodes)
+    for i, dtype in enumerate(["float32", "float64", "complex64",
+                               "complex128", "int32"]):
+        arr = (rng.standard_normal((3, 3)) * 10).astype(dtype)
+        n = tn.Node(arr, name=f"n_{dtype}")
+        path = str(tmp_path / f"nodes_{i}.h5")
+        save_nodes([n], path)
+        loaded = load_nodes(path)
+        assert np.asarray(loaded[0].tensor).dtype == np.dtype(dtype)
+        np.testing.assert_array_equal(np.asarray(loaded[0].tensor), arr)
