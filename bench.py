@@ -345,6 +345,36 @@ def main():
             f"E = {e7:.6f}")
     except Exception as e:
         log(f"chi=1024 probe failed: {type(e).__name__}: {e}")
+    _locals = locals()
+    _free(*[_locals.get(nm) for nm in ("As7", "rv7", "res7")])
+
+    # --- round-5 tier: chi=1024 TWO-site (three-level-chunked XL
+    # matvec kernel, x streamed, Q staged through HBM; BASELINE.md) ---
+    try:
+        from tensornetwork_tpu.models.dmrg import two_site_sweep
+        As8 = random_mps_stack(jax.random.PRNGKey(9), N, 1024, 2, dtype)
+        res8 = two_site_sweep(As8, mpo.Ws, mpo.vL, mpo.vR,
+                              num_krylov_vecs=6, trunc_impl="subspace",
+                              trunc_iters=2, trunc_orth="polar")
+        res8 = two_site_sweep(res8.As, mpo.Ws, mpo.vL, mpo.vR,
+                              num_krylov_vecs=6, trunc_impl="subspace",
+                              trunc_iters=2, trunc_orth="polar",
+                              renvs=res8.renvs)
+        jax.device_get(res8.energy)
+        As8, rv8 = res8.As, res8.renvs
+        t0 = time.perf_counter()
+        for _ in range(2):
+            res8 = two_site_sweep(As8, mpo.Ws, mpo.vL, mpo.vR,
+                                  num_krylov_vecs=6,
+                                  trunc_impl="subspace", trunc_iters=2,
+                                  trunc_orth="polar", renvs=rv8)
+            As8, rv8 = res8.As, res8.renvs
+        e8 = float(res8.energy)
+        rate8 = 2 / (time.perf_counter() - t0)
+        log(f"chi=1024 TWO-site single instance (XL kernel, plan "
+            f"(16,4,4)): {rate8:.3f} sweeps/s, E = {e8:.6f}")
+    except Exception as e:
+        log(f"chi=1024 two-site probe failed: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "dmrg_tfi_n32_chi64_instance_sweeps_per_s_per_chip",

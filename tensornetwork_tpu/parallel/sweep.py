@@ -69,17 +69,29 @@ def _fold_right_norm(n, As_blk):
     return n
 
 
-def _psd_factor(n, rel_eps=1e-10):
-    """Return (a, a_inv) with a·a† = n (clipped eigen square root —
-    near-null norm directions are gauge-null and safely projected)."""
+def _psd_factor(n, rel_eps=None):
+    """Return (a, a_inv) with a·a† = n, PROJECTING the near-null norm
+    directions (a and a_inv both zero there).
+
+    The round-4 version inverted clipped eigenvalues (floor at
+    1e-10·max) instead of projecting: at f32 the null eigenvalues of a
+    rank-deficient boundary norm env are eigh noise (~eps·max), so
+    1/sqrt(floor) amplified unphysical directions of the effective
+    Hamiltonian by ~1e5 and every f32 SP run diverged to -1e18 within
+    one iteration (the suite only passed because conftest forces x64 —
+    measured 2026-08-21, benchmarks/sp_scaling.py).  Null directions
+    carry zero norm, so zeroing them is the exact gauge: the gauged
+    state a†·B has no weight there and the back-map drops them."""
     e, v = jnp.linalg.eigh(0.5 * (n + jnp.conj(n.T)))
     e = jnp.real(e)
-    floor = jnp.maximum(jnp.max(e), 0.0) * rel_eps + 1e-300
-    e = jnp.maximum(e, floor)
-    sq = jnp.sqrt(e)
-    a = (v * sq[None, :])
-    a_inv = (v / sq[None, :])
-    # a = v diag(sq): a a† = v e v† = n  (up to clipping)
+    if rel_eps is None:
+        rel_eps = 100.0 * float(jnp.finfo(e.dtype).eps)
+    cut = jnp.maximum(jnp.max(e), 0.0) * rel_eps
+    keep = e > cut
+    sq = jnp.sqrt(jnp.where(keep, e, 1.0))
+    a = v * jnp.where(keep, sq, 0.0)[None, :]
+    a_inv = v * jnp.where(keep, 1.0 / sq, 0.0)[None, :]
+    # a = v diag(sq) on the kept subspace: a a† = n up to the null cut
     return a, jnp.conj(a_inv.T)
 
 
@@ -121,6 +133,13 @@ def make_distributed_sweep(mesh: Mesh, num_devices: int,
         from jax.experimental.shard_map import shard_map
 
     def phase_fn(As, Ws, vL, vR, parity):
+        # the env folds, norm gauges and eigh here run OUTSIDE the
+        # sweep impl's forced-highest context — wrap the whole phase
+        # (the documented TPU default-precision trap, CLAUDE.md)
+        with jax.default_matmul_precision("highest"):
+            return _phase_body(As, Ws, vL, vR, parity)
+
+    def _phase_body(As, Ws, vL, vR, parity):
         # runs per-device on a (B, chi, d, chi) block
         chi = As.shape[1]
         idx = jax.lax.axis_index(axis_name)

@@ -77,3 +77,32 @@ def test_distributed_two_site():
                            inner_sweeps=1, two_site=True)
     dmrg.run(num_iterations=8, tol=0)
     np.testing.assert_allclose(dmrg.energy(), exact, rtol=1e-6)
+
+
+def test_distributed_dmrg_f32_rank_deficient_boundaries():
+    """f32 regression (round 5): the clipped-inverse boundary gauge
+    diverged to -1e18 within one iteration at EVERY f32 config (null
+    eigenvalues of the rank-deficient norm envs are eigh noise at f32;
+    1/sqrt(1e-10 floor) amplified them ~1e5x) — the suite never caught
+    it because conftest forces x64.  _psd_factor now PROJECTS the null
+    directions; this drives the exact config in explicit f32."""
+    import jax
+    import jax.numpy as jnp
+    from tensornetwork_tpu.models import FiniteTFI
+    from tensornetwork_tpu.models.dmrg import random_mps_stack
+    from tensornetwork_tpu.parallel.mesh import make_mesh
+    from tensornetwork_tpu.parallel.sweep import DistributedDMRG
+
+    N, chi, P = 12, 16, 4
+    mpo = FiniteTFI(Jx=1.0, Bz=1.0, N=N, dtype=jnp.float32)
+    As = random_mps_stack(jax.random.PRNGKey(0), N, chi, 2, jnp.float32)
+    mesh = make_mesh((P,), ("sp",), devices=jax.devices()[:P])
+    d = DistributedDMRG(As, mpo, mesh, num_krylov_vecs=10, num_colors=P)
+    d.run(num_iterations=6, tol=0.0)
+    e = d.energy()
+    assert np.isfinite(e)
+    # chi=16 >= 2^6: the chain is exactly representable; f32 block-DMRG
+    # must land within f32 tolerance of the true ground state
+    import numpy as _np
+    H_exact = -14.925623  # N=12 critical TFI (dense diag, f64)
+    assert abs(e - H_exact) < 5e-4, e

@@ -278,3 +278,68 @@ def test_chain_matches_ep_per_contraction_executors(rng, mesh):
     np.testing.assert_allclose(np.asarray(fn_new(*args)),
                                np.asarray(fn_old(*args)),
                                rtol=0, atol=1e-6)
+
+
+def _run_chain_partials_on_mesh(mesh, run, datas):
+    """Run a reduce='none' chain: return the per-device partials
+    stacked on a leading axis (out_specs P('ep'))."""
+    n = len(datas)
+    fn = jax.jit(jax.shard_map(
+        lambda *d: run(*d)[None], mesh=mesh,
+        in_specs=(P(),) * n, out_specs=P("ep"), check_vma=False))
+    return np.asarray(fn(*[jnp.asarray(d) for d in datas]))
+
+
+@pytest.mark.parametrize("kind,seed", [("u1", 0), ("z2", 1), ("z3", 2),
+                                       ("u1xz2", 3)])
+def test_chain_reduce_none_partials_disjoint_and_exact(rng, mesh, kind,
+                                                       seed):
+    """Capacity-EP producer path (reduce='none'): per-device partials
+    have DISJOINT support and sum to the exact chain output, for every
+    charge family — the invariant the reduce-scatter env storage relies
+    on."""
+    from tensornetwork_tpu.blocksparse.jax_engine import make_chain_executor
+    r = np.random.default_rng(100 + seed)
+    mk = _charge_factory(kind)
+    cs = [mk(r, d) for d in (6, 7, 5, 6)]
+    mats = [randn([Index(cs[i], False), Index(cs[i + 1], True)],
+                  seed=20 + i) for i in range(3)]
+    if any(m.data.size == 0 for m in mats):
+        pytest.skip("degenerate random structure (no allowed entries)")
+    specs = [(mats[0], mats[1], [1], [0]), (None, mats[2], [1], [0])]
+    run, _ = make_chain_executor(specs, 8, "ep", reduce="none")
+    partials = _run_chain_partials_on_mesh(mesh, run,
+                                           [m.data for m in mats])
+    assert partials.shape[0] == 8
+    # disjoint support: at most one device owns each position
+    support = (partials != 0.0).sum(axis=0)
+    assert support.max() <= 1
+    # and the sum is the exact chain output
+    acc = bst.tensordot(bst.tensordot(mats[0], mats[1], [[1], [0]]),
+                        mats[2], [[1], [0]])
+    np.testing.assert_allclose(partials.sum(axis=0), acc.data,
+                               rtol=0, atol=1e-5)
+
+
+def test_env_scatter_gather_roundtrip_on_mesh(mesh):
+    """env_scatter_stored o env_gather_full == psum, elementwise, for
+    ragged nnz (pad tail exercised)."""
+    from tensornetwork_tpu.blocksparse.batched import (
+        env_block_len, env_gather_full, env_scatter_stored)
+    rng2 = np.random.default_rng(0)
+    for nnz in (1, 5, 37, 64, 129):
+        parts = jnp.asarray(rng2.standard_normal((8, 2, nnz)), jnp.float32)
+
+        def body(p):
+            # p: (1, 2, nnz) — this device's partial
+            stored = env_scatter_stored(p[0], 8, "ep")
+            full = env_gather_full(stored, nnz, "ep")
+            return full[None]
+
+        fn = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(P("ep"),), out_specs=P("ep"),
+            check_vma=False))
+        out = np.asarray(fn(parts))
+        expect = np.asarray(parts).sum(axis=0)
+        for d in range(8):
+            np.testing.assert_allclose(out[d], expect, atol=1e-5)
