@@ -165,7 +165,9 @@ LANCZOS_IMPL = "xla"  # "xla" | "fused"
 
 def _qr(m: Array, use_cholesky: bool = False,
         impl: Optional[str] = None) -> Tuple[Array, Array]:
-    impl = QR_IMPL if impl is None else impl
+    # call-time default: polar on TPU (see _default_qr_impl) — this
+    # also covers TDVP's gauge shifts, which import these helpers
+    impl = _default_qr_impl() if impl is None else impl
     if use_cholesky or impl == "cholesky":
         return _cholqr2(m)
     if impl == "polar":

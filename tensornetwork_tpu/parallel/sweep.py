@@ -180,11 +180,19 @@ def make_distributed_sweep(mesh: Mesh, num_devices: int,
             res = sweep_impl(As_new, Ws, vL, vR, num_krylov_vecs,
                              boundary_envs=(Lg, Rg))
             As_new = res.As
-        # back to the global frame
-        As_new = As_new.at[0].set(
-            jnp.einsum("ab,bsc->asc", a_invH, As_new[0]))
-        As_new = As_new.at[-1].set(
-            jnp.einsum("asb,bc->asc", As_new[-1], b_inv))
+        # back to the global frame.  The back-map is NOT isometric
+        # (a_inv carries 1/sqrt of the kept norm-env eigenvalues, up to
+        # ~1/sqrt(cut) on poorly conditioned boundaries), so normalize
+        # the boundary sites afterwards — a pure global-scale change.
+        # Without this, simultaneous (red/black) updates compound the
+        # amplification across iterations and the f32 state overflows
+        # by iteration ~2 (measured 2026-08-21, sp_scaling.py).
+        A0 = jnp.einsum("ab,bsc->asc", a_invH, As_new[0])
+        As_new = As_new.at[0].set(A0 / jnp.maximum(
+            _dmrg._norm_like(A0), jnp.asarray(1e-30, A0.dtype)))
+        Al = jnp.einsum("asb,bc->asc", As_new[-1], b_inv)
+        As_new = As_new.at[-1].set(Al / jnp.maximum(
+            _dmrg._norm_like(Al), jnp.asarray(1e-30, Al.dtype)))
         active = (idx % num_colors) == parity
         As_out = jnp.where(active, As_new, As)
         energy = jnp.where(active, res.energy, jnp.inf)
