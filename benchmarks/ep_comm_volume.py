@@ -104,6 +104,43 @@ def main():
     print(f"reduction: {total_old / total_new:.1f}x "
           f"(ring all-reduce wire cost ~2x(n-1)/n of payload per device)")
 
+    # --- round-5 capacity-EP accounting (sharded env storage):
+    # env chains emit NO psum — outputs reduce-scatter into the sharded
+    # layout (wire = half an all-reduce) and consumers all-gather the
+    # current bond's envs transiently (the other half).  The matvec
+    # psum is unchanged; absorb runs replicated (0 collective).
+    psum_cap = 0
+    rs_cap = 0
+    ag_cap = 0
+    for site in range(N):
+        for direction in ("right", "left"):
+            if direction == "right" and site == N - 1:
+                continue
+            if direction == "left" and site == 0:
+                continue
+            A, W = skel[site], mpo[site]
+            L, R = Lsk[site], Rsk[site + 1]
+            n1, p1 = out_nnz(L, A, [0], [0])
+            t1 = _skel_of(p1)
+            n2, p2 = out_nnz(t1, W, [0, 2], [0, 3])
+            t2 = _skel_of(p2)
+            n3, _ = out_nnz(t2, R, [1, 2], [0, 1])
+            psum_cap += m * n3
+            n_env = Lsk[site + 1].data.shape[0] if direction == "right" \
+                else Rsk[site].data.shape[0]
+            rs_cap += n_env
+            ag_cap += L.data.shape[0] + R.data.shape[0]
+    env_stack = (sum(s.data.shape[0] for s in Lsk if s is not None)
+                 + sum(s.data.shape[0] for s in Rsk if s is not None))
+    print(f"capacity-EP (r5) per one-site sweep: "
+          f"psum {psum_cap * 4 * B / 1e6:.1f} MB (matvec only — env "
+          f"chains contribute 0 psum bytes), "
+          f"reduce-scatter {rs_cap * 4 * B / 1e6:.1f} MB, "
+          f"all-gather {ag_cap * 4 * B / 1e6:.1f} MB logical")
+    print(f"stored env stacks: {env_stack * 4 * B / 1e6:.1f} MB total "
+          f"-> {env_stack * 4 * B / 8 / 1e6:.2f} MB per device on 8 "
+          f"devices (replicated EP held the full stack on every device)")
+
     # --- two-site sweep: 4-stage matvec chain on theta ---
     t_old = 0
     t_new = 0
