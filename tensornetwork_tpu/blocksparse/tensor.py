@@ -440,6 +440,42 @@ class BlockSparseTensor:
     def T(self) -> "BlockSparseTensor":
         return self.transpose(tuple(reversed(range(self.ndim))))
 
+    @property
+    def H(self) -> "BlockSparseTensor":
+        """Hermitian conjugate of a rank-2 tensor (reference
+        ``blocksparsetensor.py`` ``ChargeArray.H``)."""
+        if self.ndim != 2:
+            raise ValueError(
+                "hermitian conjugate only defined for rank-2 tensors, "
+                f"got rank {self.ndim}")
+        return self.conj().transpose((1, 0))
+
+    @property
+    def size(self) -> int:
+        """Total DENSE element count (reference ``ChargeArray.size``)."""
+        return int(np.prod([d for d in self.shape], dtype=np.int64))
+
+    def item(self):
+        """The single element of a size-1 (or rank-0) tensor (reference
+        ``blocksparsetensor.py`` ``item``)."""
+        if self.ndim == 0:
+            return self.data.item()
+        if self.size == 1:
+            # a size-1 symmetric tensor has at most one structurally
+            # allowed entry; zero entries means the value is 0
+            return self.data.item() if self.data.size == 1 else \
+                np.zeros((), self.dtype).item()
+        raise ValueError("can only convert an array of size 1 to a "
+                         "Python scalar")
+
+    def __matmul__(self, other: "BlockSparseTensor") -> "BlockSparseTensor":
+        """Matrix multiply for rank-1/rank-2 operands (reference
+        ``blocksparsetensor.py`` ``__matmul__``)."""
+        if self.ndim > 2 or other.ndim > 2:
+            raise ValueError("__matmul__ only implemented for rank-1 or "
+                             "rank-2 tensors")
+        return tensordot(self, other, [[self.ndim - 1], [0]])
+
     # -- transpose / reshape ----------------------------------------------
     def transpose(self, order: Sequence[int]) -> "BlockSparseTensor":
         """Eager transpose: O(nnz log nnz) coordinate sort (the reference
