@@ -115,3 +115,30 @@ def test_no_raw_vmem_constants_in_routing_code():
         if "12 * 2**20" in text or "14_000_000" in text:
             offenders.append(str(f))
     assert offenders == []
+
+
+def test_xl_plan_model_matches_chip_sweep():
+    """Round-5 on-chip XL plan sweep (benchmarks/xl_plan_sweep.py,
+    chi=1024 nt=4 M=3): every plan that failed remote Mosaic is one the
+    cost model rejects, every plan that compiled is admitted, and the
+    model's pick (16, 4, 4) was the measured-fastest (3.35 ms)."""
+    budget = vmem.STREAMED_BUDGET_BYTES
+    chi, nt, M = 1024, 4, 3
+
+    def admit(K, K3, K2):
+        cs, a, d = chi // K, chi // K3, chi // K2
+        va = (2 * nt * a * chi * 4 + 2 * M * cs * a * 4
+              + M * nt * cs * chi * 4)
+        vb = (2 * M * nt * cs * chi * 4 + 2 * M * chi * d * 4
+              + nt * cs * d * 4 + 2 * nt * cs * d * 4)
+        return va <= budget and vb <= budget
+
+    compiled = [(16, 4, 4), (16, 8, 4), (16, 4, 8), (16, 8, 8),
+                (32, 4, 4), (32, 8, 8)]
+    failed = [(8, 8, 8), (16, 2, 4), (8, 4, 8), (8, 8, 4)]
+    for plan in compiled:
+        assert admit(*plan), plan
+    for plan in failed:
+        assert not admit(*plan), plan
+    # and the chooser returns the measured-fastest plan
+    assert vmem.streamed_matvec_xl_plan(chi, nt, M) == (16, 4, 4)
