@@ -6,7 +6,8 @@ from tensornetwork_tpu.blocksparse.tensor import (
     ChargeArray, BlockSparseTensor, tensordot, outerproduct, transpose,
     reshape, conj)
 from tensornetwork_tpu.blocksparse.linalg import (
-    svd, qr, eigh, eig, diag, trace, pinv, eye, norm, inv, sqrt)
+    svd, qr, eigh, eig, diag, trace, pinv, eye, norm, inv, sqrt,
+    abs, sign)
 from tensornetwork_tpu.blocksparse.initialization import (
     randn, zeros, ones, random, randn_like, empty_like)
 from tensornetwork_tpu.blocksparse.caching import (

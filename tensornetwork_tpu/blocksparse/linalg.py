@@ -360,6 +360,19 @@ def norm(t: BlockSparseTensor) -> float:
     return float(np.linalg.norm(t.data))
 
 
+def abs(tensor: BlockSparseTensor) -> BlockSparseTensor:  # noqa: A001
+    """Elementwise absolute value (reference
+    ``block_sparse/linalg.py:696``)."""
+    return BlockSparseTensor(np.abs(tensor.data), tensor._charges,
+                             tensor._flows, tensor._order)
+
+
+def sign(tensor: BlockSparseTensor) -> BlockSparseTensor:
+    """Elementwise sign (reference ``block_sparse/linalg.py:701``)."""
+    return BlockSparseTensor(np.sign(tensor.data), tensor._charges,
+                             tensor._flows, tensor._order)
+
+
 def eye(column_index: Index, row_index: Optional[Index] = None,
         dtype=np.float64) -> BlockSparseTensor:
     """Identity matrix with legs (column_index, dual) (reference

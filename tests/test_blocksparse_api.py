@@ -152,3 +152,16 @@ def test_matmul_chain_associativity():
     right = m1 @ (m2 @ m3)
     np.testing.assert_allclose(left.todense(), right.todense(),
                                atol=1e-10)
+
+
+def test_abs_sign_parity():
+    # reference block_sparse/linalg.py:696-705
+    from tensornetwork_tpu.blocksparse import abs as bs_abs, sign as bs_sign
+    rng = np.random.default_rng(10)
+    t = randn([Index(_u1(rng, 8), False), Index(_u1(rng, 8), True)],
+              seed=1)
+    np.testing.assert_allclose(bs_abs(t).todense(), np.abs(t.todense()))
+    np.testing.assert_allclose(bs_sign(t).todense(),
+                               np.sign(t.todense()))
+    # structure preserved
+    assert bs_abs(t).data.shape == t.data.shape

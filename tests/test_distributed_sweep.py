@@ -106,3 +106,25 @@ def test_distributed_dmrg_f32_rank_deficient_boundaries():
     import numpy as _np
     H_exact = -14.925623  # N=12 critical TFI (dense diag, f64)
     assert abs(e - H_exact) < 5e-4, e
+
+
+def test_distributed_two_site_f32():
+    """Two-site block sweeps in explicit f32 (same bug class as the
+    one-site f32 divergence — keep both dtypes driven)."""
+    import jax
+    import jax.numpy as jnp
+    from tensornetwork_tpu.models import FiniteTFI
+    from tensornetwork_tpu.models.dmrg import random_mps_stack
+    from tensornetwork_tpu.parallel.mesh import make_mesh
+    from tensornetwork_tpu.parallel.sweep import DistributedDMRG
+
+    N, chi, P = 12, 12, 4
+    mpo = FiniteTFI(Jx=1.0, Bz=1.0, N=N, dtype=jnp.float32)
+    As = random_mps_stack(jax.random.PRNGKey(2), N, chi, 2, jnp.float32)
+    mesh = make_mesh((P,), ("sp",), devices=jax.devices()[:P])
+    d = DistributedDMRG(As, mpo, mesh, num_krylov_vecs=8, num_colors=P,
+                        two_site=True)
+    d.run(num_iterations=6, tol=0.0)
+    e = d.energy()
+    assert np.isfinite(e)
+    assert abs(e - (-14.925623)) < 1e-3, e

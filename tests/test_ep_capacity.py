@@ -154,3 +154,41 @@ def test_capacity_env_chain_has_no_psum(mesh):
     assert "all-reduce" not in hlo_cap      # capacity path: 0 psum bytes
     assert ("reduce-scatter" in hlo_cap) or ("all-reduce-scatter"
                                              in hlo_cap)
+
+
+def test_capacity_requires_ep_mesh():
+    N, chi, B = 4, 6, 2
+    skel = uniform_skeleton_mps(N, chi, dtype=np.float32)
+    mpo = u1_xxz_mpo(1.0, 1.0, 0.0, N)
+    data = random_data_batch(skel, B, seed=0)
+    with pytest.raises(ValueError, match="ep_mesh"):
+        BatchedSymmetricDMRG(skel, data, mpo, ep_capacity=True)
+
+
+def test_capacity_export_guard(mesh):
+    # AOT export is the single-device path; the sharded paths refuse
+    N, chi, B = 4, 6, 2
+    skel = uniform_skeleton_mps(N, chi, dtype=np.float32)
+    mpo = u1_xxz_mpo(1.0, 1.0, 0.0, N)
+    data = random_data_batch(skel, B, seed=0)
+    cap = BatchedSymmetricDMRG(skel, data, mpo, ep_mesh=mesh,
+                               ep_capacity=True)
+    with pytest.raises(ValueError, match="single-device"):
+        cap.export_programs("/tmp/nonexistent_export_dir")
+    # precompile is a no-op (returns 0.0) on sharded paths
+    assert cap.precompile() == 0.0
+
+
+def test_boundary_env_layout(mesh):
+    N, chi, B = 4, 6, 3
+    skel = uniform_skeleton_mps(N, chi, dtype=np.float32)
+    mpo = u1_xxz_mpo(1.0, 1.0, 0.0, N)
+    data = random_data_batch(skel, B, seed=0)
+    cap = BatchedSymmetricDMRG(skel, data, mpo, ep_mesh=mesh,
+                               ep_capacity=True)
+    env = cap._boundary_env()
+    assert env.shape == (B, 8, 1)
+    # device 0 holds the single boundary entry; all others hold padding
+    full = np.asarray(env_from_stored(env, 1))
+    np.testing.assert_array_equal(full, np.ones((B, 1), np.float32))
+    assert np.asarray(env)[:, 1:, :].sum() == 0.0
