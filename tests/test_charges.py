@@ -191,3 +191,68 @@ def test_zncharge_value_validation():
         assert np.all((c.charges >= 0) & (c.charges < 3))
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# utils-level scenario ports (reference block_sparse/utils_test.py)
+# ---------------------------------------------------------------------------
+
+def test_fuse_ndarrays_kron_order():
+    from tensornetwork_tpu.blocksparse.charge import fuse_ndarrays
+    a = np.asarray([0, 1])
+    b = np.asarray([2, 3, 4])
+    fused = fuse_ndarrays([a, b])
+    np.testing.assert_array_equal(fused, [2, 3, 4, 3, 4, 5])
+    # three arrays: row-major enumeration of sums
+    c = np.asarray([10, 20])
+    f3 = fuse_ndarrays([a, b, c])
+    expect = [x + y + z for x in a for y in b for z in c]
+    np.testing.assert_array_equal(f3, expect)
+    # single array passes through
+    np.testing.assert_array_equal(fuse_ndarrays([a]), a)
+
+
+def test_fuse_degeneracies_outer_product():
+    from tensornetwork_tpu.blocksparse.charge import fuse_degeneracies
+    d1 = np.asarray([1, 2, 3])
+    d2 = np.asarray([2, 4])
+    np.testing.assert_array_equal(fuse_degeneracies(d1, d2),
+                                  np.kron(d1, d2))
+
+
+def test_balanced_partition_minimizes_imbalance():
+    from tensornetwork_tpu.blocksparse.tensor import _balanced_partition
+    # [2, 2, 16]: p=2 gives (4, 16); p=1 gives (2, 32) -> picks p=2
+    assert _balanced_partition([2, 2, 16]) == 2
+    # [16, 2, 2]: p=1 gives (16, 4) -> best
+    assert _balanced_partition([16, 2, 2]) == 1
+    # symmetric case
+    assert _balanced_partition([4, 4]) == 1
+
+
+def test_compute_num_nonzero_families():
+    from tensornetwork_tpu.blocksparse.tensor import compute_num_nonzero
+    rng = np.random.default_rng(5)
+    for mk in (lambda d: U1Charge(rng.integers(-2, 3, d)),
+               lambda d: Z2Charge(rng.integers(0, 2, d)),
+               lambda d: ZNCharge(3)(rng.integers(0, 3, d))):
+        charges = [mk(6), mk(7), mk(8)]
+        flows = [False, True, False]
+        n = compute_num_nonzero(charges, flows)
+        # oracle: count dense index tuples whose fused charge is the
+        # identity
+        f = fuse_charges(charges, flows)
+        ident = charges[0].identity_charges(1).charges[0]
+        expect = int(np.sum(np.all(f.charges == ident[None, :], axis=1)))
+        assert n == expect
+
+
+def test_nonzero_dense_coords_conserving():
+    from tensornetwork_tpu.blocksparse.tensor import nonzero_dense_coords
+    rng = np.random.default_rng(6)
+    charges = [U1Charge(rng.integers(-1, 2, 5)),
+               U1Charge(rng.integers(-1, 2, 6))]
+    flows = [False, True]
+    coords = nonzero_dense_coords(charges, flows)
+    for (i, j) in coords:
+        assert charges[0].charges[i, 0] - charges[1].charges[j, 0] == 0
