@@ -1,7 +1,9 @@
 """Decomposition tests: reconstruction + reference truncation semantics
 (oracle: numpy.linalg; truncation contract from reference
 ``backends/numpy/decompositions.py:21-124``)."""
+import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tensornetwork_tpu.ops.decompositions import (
     svd, qr, rq, eigh, svd_masked)
@@ -157,3 +159,84 @@ def test_subspace_truncate_warm_start_few_iters():
     ref = (u[:, :k] * s[None, :k]) @ v[:k]
     np.testing.assert_allclose(np.asarray(res.q @ res.rest), ref,
                                atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 edge cases for the accuracy-critical kernels (polar gauges
+# became the TPU-wide default this round — BASELINE.md gauge A/B)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape", [(32, 32), (64, 32), (48, 16)])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
+def test_ns_polar_isometry_and_span(rng, shape, dtype):
+    from tensornetwork_tpu.ops.decompositions import ns_polar
+    m = jnp.asarray(rng.standard_normal(shape), dtype)
+    q, p = ns_polar(m)
+    tol = 1e-5 if dtype == jnp.float32 else 1e-10
+    np.testing.assert_allclose(np.asarray(q.T @ q),
+                               np.eye(shape[1]), atol=tol)
+    # q p reconstructs m and p is symmetric PSD
+    np.testing.assert_allclose(np.asarray(q @ p), np.asarray(m),
+                               atol=tol * 10)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p.T),
+                               atol=tol * 10)
+
+
+def test_ns_polar_rank_deficient_partial_isometry(rng):
+    # documented contract: NS polar on rank-deficient panels yields a
+    # PARTIAL isometry (null columns stay zero) — polar_complete is the
+    # full-completion variant (CLAUDE.md)
+    from tensornetwork_tpu.ops.decompositions import ns_polar
+    m = jnp.asarray(rng.standard_normal((32, 8)), jnp.float64)
+    m = jnp.concatenate([m, m @ jnp.ones((8, 8))], axis=1)  # rank 8
+    q, p = ns_polar(m)
+    g = np.asarray(q.T @ q)
+    # the isometric block acts correctly on the row space
+    np.testing.assert_allclose(np.asarray(q @ p), np.asarray(m),
+                               atol=1e-8)
+
+
+def test_ns_polar_complete_full_isometry_on_rank_deficient(rng):
+    from tensornetwork_tpu.ops.decompositions import ns_polar_complete
+    m = jnp.asarray(rng.standard_normal((32, 8)), jnp.float64)
+    m = jnp.concatenate([m, m], axis=1)  # rank 8 of 16 columns
+    q, p = ns_polar_complete(m)
+    np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(16),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(q @ p), np.asarray(m),
+                               atol=1e-8)
+
+
+def test_cholqr2_well_conditioned(rng):
+    from tensornetwork_tpu.ops.decompositions import cholqr2
+    m = jnp.asarray(rng.standard_normal((64, 16)), jnp.float64)
+    q, r = cholqr2(m)
+    np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(16),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(q @ r), np.asarray(m),
+                               atol=1e-10)
+
+
+def test_svd_masked_zero_rows(rng):
+    # a matrix with trailing zero singular values: the masked SVD must
+    # not NaN and must keep shapes static
+    from tensornetwork_tpu.ops.decompositions import svd_masked
+    a = jnp.asarray(rng.standard_normal((16, 4)), jnp.float64)
+    m = a @ jnp.asarray(rng.standard_normal((4, 16)), jnp.float64)
+    res = svd_masked(m, max_singular_values=8)
+    u, s, vh = res.u, res.s, res.vh
+    assert u.shape == (16, 8) and s.shape == (8,)
+    assert np.all(np.isfinite(np.asarray(u)))
+    # only ~4 significant values
+    assert np.sum(np.asarray(s) > 1e-10) <= 4 + 1
+    np.testing.assert_allclose(
+        np.asarray((u * s) @ vh), np.asarray(m), atol=1e-8)
+
+
+def test_subspace_truncate_identity_when_k_equals_rank(rng):
+    from tensornetwork_tpu.ops.decompositions import subspace_truncate
+    m = jnp.asarray(rng.standard_normal((24, 24)), jnp.float64)
+    q, rest = subspace_truncate(m, k=24, iters=8)[:2]
+    # full rank kept: projector is the identity on the column space
+    np.testing.assert_allclose(np.asarray(q @ (q.T @ m)), np.asarray(m),
+                               atol=1e-8)

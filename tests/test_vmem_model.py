@@ -142,3 +142,31 @@ def test_xl_plan_model_matches_chip_sweep():
         assert not admit(*plan), plan
     # and the chooser returns the measured-fastest plan
     assert vmem.streamed_matvec_xl_plan(chi, nt, M) == (16, 4, 4)
+
+
+def test_gauge_epilogue_admission_boundaries():
+    # fused polar+env epilogue (opt-in): chi=64/128 class fits, chi=512
+    # (2M + 4d + 2Md tiles = 26 MB) does not
+    assert vmem.admit_gauge_epilogue(64, 2, 3) is True
+    assert vmem.admit_gauge_epilogue(128, 2, 3) is True
+    assert vmem.admit_gauge_epilogue(512, 2, 3) is False
+
+
+def test_xl_plan_chooser_properties():
+    # Mosaic alignment invariants of every returned plan
+    for (chi, nt) in ((1024, 4), (512, 4), (2048, 4), (1024, 2)):
+        plan = vmem.streamed_matvec_xl_plan(chi, nt, 3)
+        assert plan is not None
+        K, K3, K2 = plan
+        assert chi % K == 0 and chi % K3 == 0 and chi % K2 == 0
+        assert (chi // K3) % 128 == 0      # L block last dim
+        assert (chi // K2) % 128 == 0      # R/x/y block last dim
+        assert chi // K >= 32              # row chunks stay MXU-worthy
+
+
+def test_streamed_and_xl_tiers_are_disjointly_ordered():
+    # the two-site dispatch prefers the doubly-chunked tier and falls
+    # through to XL only where no plan exists (chi=1024 nt=4)
+    assert vmem.streamed_matvec_plan(512, 4, 3) is not None
+    assert vmem.streamed_matvec_plan(1024, 4, 3) is None
+    assert vmem.streamed_matvec_xl_plan(1024, 4, 3) is not None
