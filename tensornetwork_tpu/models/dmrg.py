@@ -172,6 +172,12 @@ def _qr(m: Array, use_cholesky: bool = False,
         return _cholqr2(m)
     if impl == "polar":
         return _ns_polar(m)
+    if impl == "polar_express":
+        # experimental LP-scheduled quintic iteration (~12% fewer
+        # gauge GEMMs at the same f32 isometry class; see
+        # ops.decompositions.ns_polar_express)
+        from tensornetwork_tpu.ops.decompositions import ns_polar_express
+        return ns_polar_express(m)
     return jnp.linalg.qr(m)
 
 

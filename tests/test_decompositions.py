@@ -240,3 +240,47 @@ def test_subspace_truncate_identity_when_k_equals_rank(rng):
     # full rank kept: projector is the identity on the column space
     np.testing.assert_allclose(np.asarray(q @ (q.T @ m)), np.asarray(m),
                                atol=1e-8)
+
+
+@pytest.mark.parametrize("cond", [1.0, 1e3, 1e6, 1e7])
+def test_ns_polar_express_f32_isometry(rng, cond):
+    """LP-scheduled quintic polar (opt-in): f32-eps isometry class
+    across the validated condition range, same contract as ns_polar."""
+    from tensornetwork_tpu.ops.decompositions import ns_polar_express
+    k = 48
+    u, _ = np.linalg.qr(rng.standard_normal((96, k)))
+    v, _ = np.linalg.qr(rng.standard_normal((k, k)))
+    s = np.geomspace(1.0, 1.0 / cond, k)
+    m = jnp.asarray(u @ np.diag(s) @ v.T, jnp.float32)
+    q, p = ns_polar_express(m)
+    g = np.asarray(q, np.float64).T @ np.asarray(q, np.float64)
+    assert np.max(np.abs(g - np.eye(k))) < 5e-6
+    np.testing.assert_allclose(np.asarray(q @ p), np.asarray(m),
+                               atol=1e-4)
+
+
+def test_ns_polar_express_f64_falls_back(rng):
+    # f64 cond bounds sit below the LP's reliable range: the express
+    # path must fall back to the fixed hybrid schedule and still
+    # deliver f64 isometry
+    from tensornetwork_tpu.ops.decompositions import ns_polar_express
+    m = jnp.asarray(rng.standard_normal((64, 24)), jnp.float64)
+    q, p = ns_polar_express(m)
+    np.testing.assert_allclose(np.asarray(q.T @ q), np.eye(24),
+                               atol=1e-10)
+
+
+def test_polar_express_schedule_stays_in_unit_interval():
+    from tensornetwork_tpu.ops.decompositions import (
+        _polar_express_schedule)
+    l0 = 1e-7 / np.sqrt(64) / 1.01
+    sched = _polar_express_schedule(l0, 1e-2)
+    assert 5 < len(sched) < 20
+    x = np.geomspace(l0, 1.0, 200000)
+    for (a, b, c) in sched:
+        x = a * x + b * x**3 + c * x**5
+        # every intermediate stays in (0, 1]: no overshoot, no dip
+        # below the tracked lower edge
+        assert x.max() <= 1.0 + 1e-12
+        assert x.min() > 0.0
+    assert x.min() > 0.98
