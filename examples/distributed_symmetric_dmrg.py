@@ -51,12 +51,19 @@ def main(N=8, chi=16, B=4, sweeps=3, export_dir=None):
     print(f"single-device: E mean {es_ref.mean():.8f} "
           f"span [{es_ref.min():.6f}, {es_ref.max():.6f}]")
 
-    # EP: sectors sharded over all devices
+    # capacity-EP: charge sectors sharded over all devices AND env
+    # stacks stored sharded (per-device env HBM = total/ndev; env
+    # chains emit zero psum bytes — round 5).  Building a third solver
+    # variant in this process trips the documented in-process XLA-CPU
+    # compiler flake, so the replicated-EP variant is exercised by
+    # tests/test_ep_capacity.py instead.
     mesh = make_mesh((len(jax.devices()),), ("ep",))
     ep = BatchedSymmetricDMRG(skel, [d.copy() for d in data], mpo,
-                              num_krylov_vecs=10, ep_mesh=mesh)
+                              num_krylov_vecs=10, ep_mesh=mesh,
+                              ep_capacity=True)
     es_ep = ep.run_one_site(num_sweeps=sweeps)
-    print(f"EP ({mesh.shape['ep']} devices): E mean {es_ep.mean():.8f} "
+    print(f"capacity-EP ({mesh.shape['ep']} devices, env stacks "
+          f"sharded): E mean {es_ep.mean():.8f} "
           f"(max dev vs single-device "
           f"{np.abs(es_ep - es_ref).max():.2e})")
     return es_ep
