@@ -238,7 +238,10 @@ def _local_solve_1s(Lenv: Array, W: Array, Renv: Array, A: Array,
         # Tier 4 — doubly-chunked matvec kernel + XLA recurrence: the
         # chi=1024 tier, where even the streamed kernel's resident
         # recurrence vectors (3d tiles) no longer fit VMEM (r4).
-        plan = vmem.streamed_matvec_plan(chi, d, M)
+        # Tier 5 — three-level-chunked XL kernel: chi=2048, where the
+        # state itself exceeds VMEM (r5).
+        plan = (vmem.streamed_matvec_plan(chi, d, M)
+                or vmem.streamed_matvec_xl_plan(chi, d, M))
         if plan is not None:
             ev, evec = kernels.fused_lanczos_ground_state_streamed2(
                 Lenv[None], W, Renv[None], A[None],

@@ -1592,13 +1592,24 @@ def fused_lanczos_ground_state_streamed2(L, W, R, x0,
     M = W.shape[0]
     if plan is None:
         plan = streamed_matvec_plan(chi, d, M)
+    if plan is None:
+        from tensornetwork_tpu.ops import vmem
+        plan = vmem.streamed_matvec_xl_plan(chi, d, M)
         if plan is None:
             raise ValueError(
                 f"no streamed-matvec chunking fits VMEM at chi={chi}")
     Lt, W_, Rt, xt = prepare_operands(L, W, R, x0)
-    evals, y = _streamed_lanczos_core(
-        Lt, W_, Rt, xt, num_krylov_vecs, plan[0], plan[1], delta,
-        ritz_method, power_iters, interpret, precision)
+    if len(plan) == 3:
+        # three-level-chunked XL tier (chi=2048 one-site: the state
+        # itself exceeds VMEM)
+        K, K3, K2 = plan
+        evals, y = _streamed_lanczos_core(
+            Lt, W_, Rt, xt, num_krylov_vecs, K, K2, delta,
+            ritz_method, power_iters, interpret, precision, K3=K3)
+    else:
+        evals, y = _streamed_lanczos_core(
+            Lt, W_, Rt, xt, num_krylov_vecs, plan[0], plan[1], delta,
+            ritz_method, power_iters, interpret, precision)
     return evals, y.transpose(0, 2, 1, 3)
 
 

@@ -350,3 +350,39 @@ def test_streamed_matvec_xl_plan_targets():
     plan = (vmem.streamed_matvec_plan(1024, 4, 3)
             or vmem.streamed_matvec_xl_plan(1024, 4, 3))
     assert plan is not None and len(plan) == 3
+
+
+def test_streamed_xl_one_site_matches_oracle(rng):
+    # the chi=2048 ONE-site tier: XL kernel with nt=d=2 (interpret)
+    from tensornetwork_tpu.ops import krylov
+    B, chi, d, M, m = 1, 128, 2, 3, 6
+    L = rng.standard_normal((B, chi, M, chi))
+    L = 0.5 * (L + L.transpose(0, 3, 2, 1))
+    R = rng.standard_normal((B, chi, M, chi))
+    R = 0.5 * (R + R.transpose(0, 3, 2, 1))
+    W = rng.standard_normal((M, M, d, d))
+    W = 0.5 * (W + W.transpose(1, 0, 3, 2))
+    L, W, R = jnp.asarray(L), jnp.asarray(W), jnp.asarray(R)
+    x0 = jnp.asarray(rng.standard_normal((B, chi, d, chi)))
+
+    def mv(Lb, Rb, x):
+        return jnp.einsum("awc,wvst,atb,bvd->csd", Lb, W, x, Rb,
+                          optimize="auto")
+
+    ev_or, y_or = jax.vmap(lambda Lb, Rb, xb: krylov.eigsh_lanczos(
+        lambda x: mv(Lb, Rb, x), xb, num_krylov_vecs=m, numeig=1,
+        reorthogonalize=False, ritz_method="eigh"))(L, R, x0)
+    ev, y = K.fused_lanczos_ground_state_streamed2(
+        L, W, R, x0, num_krylov_vecs=m, ritz_method="eigh",
+        plan=(2, 2, 2), interpret=True)
+    np.testing.assert_allclose(np.asarray(ev), np.asarray(ev_or[:, 0]),
+                               atol=1e-10)
+    fid = jnp.abs(jnp.sum(y.reshape(B, -1) * y_or[:, 0].reshape(B, -1),
+                          axis=1))
+    np.testing.assert_allclose(np.asarray(fid), 1.0, atol=1e-10)
+
+
+def test_one_site_chi2048_has_xl_plan():
+    from tensornetwork_tpu.ops import vmem
+    assert vmem.streamed_matvec_plan(2048, 2, 3) is None
+    assert vmem.streamed_matvec_xl_plan(2048, 2, 3) is not None
