@@ -375,6 +375,30 @@ def main():
             f"(16,4,4)): {rate8:.3f} sweeps/s, E = {e8:.6f}")
     except Exception as e:
         log(f"chi=1024 two-site probe failed: {type(e).__name__}: {e}")
+    _locals = locals()
+    _free(*[_locals.get(nm) for nm in ("As8", "rv8", "res8")])
+
+    # --- round-5 ceiling: chi=2048 one-site (XL kernel — the state
+    # itself exceeds VMEM; plan (32,8,16); BASELINE.md) ---
+    try:
+        As9 = random_mps_stack(jax.random.PRNGKey(10), N, 2048, 2, dtype)
+        res9 = one_site_sweep(As9, mpo.Ws, mpo.vL, mpo.vR,
+                              num_krylov_vecs=m)
+        res9 = one_site_sweep(res9.As, mpo.Ws, mpo.vL, mpo.vR,
+                              num_krylov_vecs=m, renvs=res9.renvs)
+        jax.device_get(res9.energy)
+        As9, rv9 = res9.As, res9.renvs
+        t0 = time.perf_counter()
+        for _ in range(2):
+            res9 = one_site_sweep(As9, mpo.Ws, mpo.vL, mpo.vR,
+                                  num_krylov_vecs=m, renvs=rv9)
+            As9, rv9 = res9.As, res9.renvs
+        e9 = float(res9.energy)
+        rate9 = 2 / (time.perf_counter() - t0)
+        log(f"chi=2048 single instance (XL kernel, plan (32,8,16)): "
+            f"{rate9:.3f} sweeps/s, E = {e9:.6f}")
+    except Exception as e:
+        log(f"chi=2048 probe failed: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "dmrg_tfi_n32_chi64_instance_sweeps_per_s_per_chip",
