@@ -254,8 +254,42 @@ def _polar_express_schedule(l: float, target: float,
     return tuple(steps)
 
 
+@functools.lru_cache(maxsize=32)
+def _polar_hybrid_schedule(l: float) -> Tuple[Tuple[float, float,
+                                                    float], ...]:
+    """Hybrid schedule: the classic gentle quintic (3.4445, -4.7750,
+    2.0315 — the coefficients the battle-tested default uses, measured
+    span-safe at f32) for the inflation phase, then LP minimax quintics
+    only for the CONTRACTION tail.
+
+    MEASURED CONCLUSION (round 5): ~54 GEMMs vs the fixed schedule's 56
+    — the pure-LP mode's savings come from its AGGRESSIVE inflation
+    coefficients, which are exactly what corrupts the batched f32 floor
+    (BASELINE.md polar-express A/B).  There is no safe middle ground
+    worth wiring; kept as the recorded negative result."""
+    a, b, c = 3.4445, -4.7750, 2.0315
+    steps = []
+    lo = float(l)
+    # the classic quintic maps [0, 1.2023] -> [0, 1.2023] (its interior
+    # max; the upper edge is handled by the tail, as in the default
+    # schedule) — track it so the LP tail sees a normalized interval
+    hi = 1.20224838
+    while lo < 0.05 * hi and len(steps) < 20:
+        steps.append((a, b, c))
+        lo = a * lo + b * lo**3 + c * lo**5
+    while 1.0 - lo / hi > 1e-2 and len(steps) < 26:
+        (ca, cb, cc), new_lo = _pe_best_step(lo / hi)
+        # fold the 1/hi normalization into this step's coefficients
+        steps.append((ca / hi, cb / hi**3, cc / hi**5))
+        if new_lo <= lo / hi:
+            break
+        lo, hi = new_lo, 1.0
+    return tuple(steps)
+
+
 def ns_polar_express(m: Array, cond_bound: Optional[float] = None,
-                     polish: Optional[int] = None) -> Tuple[Array, Array]:
+                     polish: Optional[int] = None,
+                     mode: str = "lp") -> Tuple[Array, Array]:
     """Polar decomposition via the minimax-scheduled quintic iteration
     (:func:`_polar_express_schedule`) — same contract as
     :func:`ns_polar` (partial isometry on rank-deficient panels) at
@@ -277,7 +311,10 @@ def ns_polar_express(m: Array, cond_bound: Optional[float] = None,
     # (quadratic contraction: 1e-2 -> 1.5e-4 -> 3e-8 [-> 2e-15]) —
     # cubic NS is also stable against f32 rounding pushing sigma
     # slightly above 1, which the aggressive quintics are not
-    sched = _polar_express_schedule(l0, 1e-2)
+    if mode == "hybrid":
+        sched = _polar_hybrid_schedule(l0)
+    else:
+        sched = _polar_express_schedule(l0, 1e-2)
     if polish is None:
         polish = 3 if m.dtype == jnp.float32 else 4
     for (a, b, c) in sched:

@@ -284,3 +284,19 @@ def test_polar_express_schedule_stays_in_unit_interval():
         assert x.max() <= 1.0 + 1e-12
         assert x.min() > 0.0
     assert x.min() > 0.98
+
+
+def test_ns_polar_express_hybrid_mode(rng):
+    # hybrid (gentle inflation + LP tail): correctness across the f32
+    # condition range; the measured conclusion (no GEMM savings worth
+    # wiring) lives in the schedule docstring
+    from tensornetwork_tpu.ops.decompositions import ns_polar_express
+    for cond in (1.0, 1e7):
+        k = 32
+        u, _ = np.linalg.qr(rng.standard_normal((64, k)))
+        v, _ = np.linalg.qr(rng.standard_normal((k, k)))
+        s = np.geomspace(1.0, 1.0 / cond, k)
+        m = jnp.asarray(u @ np.diag(s) @ v.T, jnp.float32)
+        q, p = ns_polar_express(m, mode="hybrid")
+        g = np.asarray(q, np.float64).T @ np.asarray(q, np.float64)
+        assert np.max(np.abs(g - np.eye(k))) < 5e-6
